@@ -1,0 +1,287 @@
+"""S4 (structured state space) layer in JAX — NPLR kernel with FFT conv.
+
+TPU-first re-design of the reference S4 (ref: mug/model/s4.py). Differences
+from the torch version, chosen deliberately for XLA:
+
+* Static shapes: the FFT node table depends only on the (static) sequence
+  length, so the whole kernel evaluation traces once per length bucket.
+  The reference's lazy length-doubling cache (s4.py:557-604) is unnecessary
+  under jit.
+* The kernel K(dt, A, B, C)(L) is a pure function of parameters — inside a
+  ``lax.scan`` sampling loop XLA hoists it out as loop-invariant, so the
+  per-step cost of S4 at inference is just the FFT convolution.
+* The Cauchy resolvent sum (s4.py:140-147 ``cauchy_naive``) is evaluated as
+  one fused elementwise+reduce contraction; a Pallas kernel can slot in via
+  ``mug_diffusion_tpu.ops.cauchy`` without changing this module.
+
+Initialization is a NumPy port of the HiPPO-LegS NPLR decomposition
+(ref: s4.py:288-438) with the same defaults the live model uses:
+measure='legs', N=64, rank 1, channels 1, dt in [1e-3, 1e-1], GELU + GLU
+position-wise output (ref: s4.py:1357-1469).
+
+Note on C~: the reference lazily replaces C by C(I - dA^L) on first forward
+(_setup_C, s4.py:557-584). For decaying spectra and L >= 64 the correction
+factor is within ~1e-3 of identity; since this framework trains from
+scratch, C is treated directly as the learned parameter.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+
+# ---------------------------------------------------------------------------
+# HiPPO / NPLR initialization (NumPy, init-time only)
+# ---------------------------------------------------------------------------
+
+def hippo_legs_transition(N: int) -> Tuple[np.ndarray, np.ndarray]:
+    """HiPPO-LegS (A, B) matrices (ref: mug/model/s4.py:302-311)."""
+    q = np.arange(N, dtype=np.float64)
+    col, row = np.meshgrid(q, q)
+    r = 2 * q + 1
+    M = -(np.where(row >= col, r, 0) - np.diag(q))
+    T = np.sqrt(np.diag(2 * q + 1))
+    A = T @ M @ np.linalg.inv(T)
+    B = np.diag(T)[:, None].copy()
+    return A, B
+
+
+def rank_correction_legs(N: int) -> np.ndarray:
+    """Rank-1 correction P making A + PP^T normal (ref: s4.py:350-356)."""
+    return np.sqrt(0.5 + np.arange(N, dtype=np.float64))[None, :]  # (1, N)
+
+
+def nplr_legs(N: int):
+    """NPLR decomposition of HiPPO-LegS: A = V (diag(w) - P Q^*) V^*
+    (ref: mug/model/s4.py:379-438). Returns w (N/2,), P (1, N/2), B (N/2,)
+    complex128 — conjugate-pair halves.
+    """
+    A, B = hippo_legs_transition(N)
+    B = B[:, 0]
+    P = rank_correction_legs(N)
+    AP = A + np.sum(P[..., None, :] * P[..., :, None], axis=-3)
+
+    w_re = np.mean(np.diagonal(AP))
+    # AP - w_re*I is skew-symmetric; diagonalize i*(AP) via eigh
+    w_im, V = np.linalg.eigh(AP * -1j)
+    w = w_re + 1j * w_im
+
+    # keep half of each conjugate pair, sorted by imaginary part
+    idx = np.argsort(w.imag)
+    w_sorted = w[idx]
+    V_sorted = V[:, idx]
+    V_half = V_sorted[:, : N // 2]
+    w_half = w_sorted[: N // 2]
+    assert abs(w_half[-2]) > 1e-4, "only one zero eigenvalue allowed"
+    if abs(w_half[-1]) < 1e-4:
+        V_half[:, -1] = 0.0
+        V_half[0, -1] = 2 ** -0.5
+        V_half[1, -1] = 2 ** -0.5 * 1j
+
+    V_inv = V_half.conj().T
+    B_half = V_inv @ B.astype(np.complex128)
+    P_half = (V_inv @ P.T.astype(np.complex128)).T  # (rank, N/2)
+    return w_half, P_half, B_half
+
+
+def cauchy(v, z, w):
+    """Cauchy resolvent sum_n v_n / (z - w_n) (ref: s4.py:140-147).
+
+    v, w: [..., N] complex; z: [L] complex -> [..., L] complex.
+    Evaluated as a fused broadcast+reduce; all complex64.
+    """
+    return jnp.sum(
+        v[..., :, None] / (z[None, :] - w[..., :, None]), axis=-2
+    )
+
+
+def s4_kernel_nplr(
+    log_dt, B, C, P, inv_w_real, w_imag, L: int
+):
+    """Evaluate the S4 convolution kernel of length L
+    (ref: mug/model/s4.py:706-832 forward).
+
+    Shapes: log_dt [H]; B, P [H, N]; C [channels, H, N] (complex as pairs);
+    returns real kernel [channels, H, L].
+    """
+    dt = jnp.exp(log_dt)  # [H]
+    w = -jnp.exp(inv_w_real) + 1j * w_imag  # [H, N]
+    Q = jnp.conj(P)
+
+    # FFT nodes (bilinear transform of unit roots), static in L
+    omega = jnp.exp(
+        -2j * jnp.pi * jnp.arange(L // 2 + 1, dtype=jnp.float32) / L
+    ).astype(jnp.complex64)
+    z = 2.0 * (1.0 - omega) / (1.0 + omega)
+
+    wd = w * dt[:, None]  # [H, N]
+
+    # stack (B, P) x (C, Q): rank-1 correction => 2x2 block structure
+    Bp = jnp.stack([B, P], axis=0)  # [2, H, N]
+    Cq = jnp.concatenate([C, Q[None]], axis=0)  # [C+1, H, N]
+    v = Bp[:, None] * Cq[None]  # [2, C+1, H, N]
+
+    r = cauchy(v, z, wd)  # [2, C+1, H, L2]
+    r = r * dt[None, None, :, None]
+
+    # Woodbury rank-1 correction (ref: s4.py:791-792)
+    k_f = r[:-1, :-1] - r[:-1, -1:] * r[-1:, :-1] / (1.0 + r[-1:, -1:])
+    k_f = k_f * 2.0 / (1.0 + omega)
+
+    k = jnp.fft.irfft(k_f, n=L, axis=-1)  # real [1, C, H, L]
+    return k[0]  # [C, H, L]
+
+
+class S4(nn.Module):
+    """Full S4 block: SSM kernel + FFT convolution + gated output mix
+    (ref: mug/model/s4.py:1357-1541 with live defaults).
+
+    Input/output: [B, T, H] channels-last. ``channels`` plays the reference
+    role (1 normally, 2x for bidirectional).
+    """
+
+    d_model: int
+    d_state: int = 64
+    channels: int = 1
+    bidirectional: bool = False
+    dropout: float = 0.0
+    dt_min: float = 0.001
+    dt_max: float = 0.1
+
+    def setup(self):
+        H, N = self.d_model, self.d_state
+        n2 = N // 2
+        w, P, Bc = nplr_legs(N)
+
+        channels = self.channels * (2 if self.bidirectional else 1)
+
+        # per-feature log-dt, uniform in log-space (ref: s4.py:1263-1269)
+        def init_log_dt(key):
+            return jax.random.uniform(key, (H,)) * (
+                math.log(self.dt_max) - math.log(self.dt_min)
+            ) + math.log(self.dt_min)
+
+        self.log_dt = self.param("log_dt", init_log_dt)
+
+        # A = diag(w) - P Q^*; real part through exp for stability
+        w_real = np.clip(w.real, a_min=None, a_max=-1e-3)
+        self.inv_w_real = self.param(
+            "inv_w_real",
+            lambda key: jnp.broadcast_to(
+                jnp.asarray(np.log(-w_real), jnp.float32), (H, n2)
+            ),
+        )
+        self.w_imag = self.param(
+            "w_imag",
+            lambda key: jnp.broadcast_to(
+                jnp.asarray(w.imag, jnp.float32), (H, n2)
+            ),
+        )
+        # complex params stored as (re, im) float pairs for optimizer-friendliness
+        self.B_re = self.param(
+            "B_re", lambda key: jnp.broadcast_to(
+                jnp.asarray(Bc.real, jnp.float32), (H, n2))
+        )
+        self.B_im = self.param(
+            "B_im", lambda key: jnp.broadcast_to(
+                jnp.asarray(Bc.imag, jnp.float32), (H, n2))
+        )
+        self.P_re = self.param(
+            "P_re", lambda key: jnp.broadcast_to(
+                jnp.asarray(P[0].real, jnp.float32), (H, n2))
+        )
+        self.P_im = self.param(
+            "P_im", lambda key: jnp.broadcast_to(
+                jnp.asarray(P[0].imag, jnp.float32), (H, n2))
+        )
+
+        def init_c(key):
+            return jax.random.normal(key, (channels, H, n2, 2)) * (0.5 ** 0.5)
+
+        self.C_pair = self.param("C", init_c)
+
+        self.D = self.param(
+            "D", nn.initializers.normal(1.0), (self.channels, H)
+        )
+
+        # position-wise output transform: GLU(Dense(H*ch -> 2*H)) with GELU
+        # pre-activation (ref: s4.py:1459-1469, postact='glu')
+        self.output_linear = nn.Dense(2 * self.d_model)
+        self.drop = nn.Dropout(self.dropout)
+
+    def compute_kernel(self, L: int):
+        """Materialize the real conv kernel [channels, H, L]."""
+        B = self.B_re + 1j * self.B_im
+        P = self.P_re + 1j * self.P_im
+        C = self.C_pair[..., 0] + 1j * self.C_pair[..., 1]
+        return s4_kernel_nplr(
+            self.log_dt, B, C, P, self.inv_w_real, self.w_imag, L
+        )
+
+    def __call__(self, u, deterministic: bool = True):
+        """u: [B, T, H] -> [B, T, H]."""
+        L = u.shape[1]
+        k = self.compute_kernel(L)  # [ch, H, L]
+
+        if self.bidirectional:
+            k0, k1 = jnp.split(k, 2, axis=0)
+            k = jnp.pad(k0, ((0, 0), (0, 0), (0, L))) + jnp.pad(
+                k1[..., ::-1], ((0, 0), (0, 0), (L, 0))
+            )
+
+        n = 2 * L
+        k_f = jnp.fft.rfft(k, n=n, axis=-1)  # [ch, H, n/2+1]
+        u_f = jnp.fft.rfft(u.astype(jnp.float32), n=n, axis=1)  # [B, n/2+1, H]
+        y_f = u_f[:, None] * k_f.transpose(0, 2, 1)[None]  # [B, ch, n/2+1, H]
+        y = jnp.fft.irfft(y_f, n=n, axis=2)[:, :, :L]  # [B, ch, L, H]
+
+        # D skip: y[b,c,l,h] += u[b,l,h] * D[c,h] (ref: s4.py:1514)
+        y = y + u[:, None] * self.D[None, :, None, :]
+
+        # flatten channels: [B, L, ch*H]
+        y = y.transpose(0, 2, 1, 3).reshape(u.shape[0], L, -1)
+        y = self.drop(nn.gelu(y), deterministic=deterministic)
+        y = self.output_linear(y)
+        a, b = jnp.split(y, 2, axis=-1)
+        return a * jax.nn.sigmoid(b)  # GLU
+
+
+class S4Layer(nn.Module):
+    """Norm -> S4 -> zero conv residual wrapper used inside the U-Net
+    (ref: mug/diffusion/unet.py:76-91)."""
+
+    model_channels: int
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        from mug_diffusion_tpu.models.blocks import Normalize, zeros_init
+
+        h = Normalize()(x)
+        h = S4(d_model=self.model_channels)(h, deterministic=deterministic)
+        h = nn.Conv(
+            self.model_channels, (3,), padding=[(1, 1)],
+            kernel_init=zeros_init, bias_init=zeros_init,
+        )(h)
+        return x + h
+
+
+class S4BidirectionalLayer(nn.Module):
+    """Norm -> bidirectional S4 residual (ref: mug/cond/wave.py:322-333)."""
+
+    model_channels: int
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        from mug_diffusion_tpu.models.blocks import Normalize
+
+        h = Normalize()(x)
+        h = S4(d_model=self.model_channels, bidirectional=True)(
+            h, deterministic=deterministic
+        )
+        return x + h
