@@ -1,0 +1,135 @@
+"""Trainer driver CLI.
+
+TPU-native equivalent of the reference driver (ref: main.py): layered YAML
+configs merged left-to-right with CLI dot-list overrides, run logdir with
+config snapshots, resume support, LR scaling, and the same callback set
+(checkpointing / beatmap logging / device stats).
+
+Usage:
+    python main.py -b configs/mug/mug_diffusion_tpu.yaml -t
+    python main.py -b cfg.yaml -t model.params.timesteps=500
+    python main.py -r logs/<run>  (resume)
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import glob
+import os
+import sys
+
+import yaml
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from mug_diffusion_tpu.parallel.mesh import create_mesh
+from mug_diffusion_tpu.training.callbacks import BeatmapLogger
+from mug_diffusion_tpu.training.datamodule import DataModuleFromConfig
+from mug_diffusion_tpu.training.tasks import build_task
+from mug_diffusion_tpu.training.trainer import Trainer
+from mug_diffusion_tpu.utils.config import (
+    apply_dotlist,
+    instantiate_from_config,
+    load_config,
+)
+
+
+def get_parser():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("-b", "--base", nargs="*", default=[],
+                   help="base config yaml(s), merged left-to-right")
+    p.add_argument("-t", "--train", action="store_true", help="train")
+    p.add_argument("-r", "--resume", type=str, default="",
+                   help="resume from logdir or checkpoint")
+    p.add_argument("-n", "--name", type=str, default="")
+    p.add_argument("-s", "--seed", type=int, default=23)
+    p.add_argument("-l", "--logdir", type=str, default="logs")
+    p.add_argument("--devices", type=int, default=None,
+                   help="number of devices for the data mesh")
+    p.add_argument("--scale_lr", type=bool, default=True)
+    p.add_argument("--max_epochs", type=int, default=1000)
+    p.add_argument("--max_steps", type=int, default=None)
+    return p
+
+
+def main(argv=None):
+    parser = get_parser()
+    opt, unknown = parser.parse_known_args(argv)
+
+    if opt.resume:
+        if os.path.isfile(opt.resume):
+            logdir = os.path.dirname(os.path.dirname(opt.resume))
+            ckpt = opt.resume
+        else:
+            logdir = opt.resume.rstrip("/")
+            ckpt = os.path.join(logdir, "checkpoints", "last")
+        base_configs = sorted(
+            glob.glob(os.path.join(logdir, "configs", "*.yaml"))
+        )
+        opt.base = base_configs + opt.base
+        nowname = os.path.basename(logdir)
+    else:
+        ckpt = None
+        now = datetime.datetime.now().strftime("%Y-%m-%dT%H-%M-%S")
+        cfg_name = (
+            os.path.splitext(os.path.basename(opt.base[0]))[0]
+            if opt.base else "run"
+        )
+        nowname = now + ("_" + opt.name if opt.name else "_" + cfg_name)
+        logdir = os.path.join(opt.logdir, nowname)
+
+    config = load_config(*opt.base)
+    config = apply_dotlist(config, [u for u in unknown if "=" in u])
+
+    os.makedirs(os.path.join(logdir, "configs"), exist_ok=True)
+    with open(
+        os.path.join(logdir, "configs", "project.yaml"), "w"
+    ) as f:
+        yaml.safe_dump(config, f)
+
+    model_config = config["model"]
+    data_config = config["data"]
+    lightning_config = config.get("lightning", {})
+
+    task = build_task(model_config)
+    data: DataModuleFromConfig = instantiate_from_config(data_config)
+    data.setup()
+
+    callbacks = []
+    cb_cfgs = lightning_config.get("callbacks", {})
+    for name, cb_cfg in cb_cfgs.items():
+        if "beatmap_logger" in name:
+            callbacks.append(instantiate_from_config(cb_cfg))
+
+    trainer_cfg = lightning_config.get("trainer", {})
+    mesh = create_mesh(n_devices=opt.devices)
+    trainer = Trainer(
+        task=task,
+        logdir=logdir,
+        base_learning_rate=model_config.get("base_learning_rate", 1e-4),
+        batch_size=data_config["params"]["batch_size"],
+        accumulate_grad_batches=trainer_cfg.get("accumulate_grad_batches", 1),
+        max_epochs=opt.max_epochs,
+        max_steps=opt.max_steps,
+        mesh=mesh,
+        seed=opt.seed,
+        scale_lr=opt.scale_lr,
+        callbacks=callbacks,
+    )
+
+    common = data_config["params"].get("common_params", {})
+    batch_spec = {
+        "batch": min(2, data_config["params"]["batch_size"]),
+        "n_mels": common.get("n_mels", 128),
+        "audio_note_window_ratio": common.get("audio_note_window_ratio", 8),
+    }
+    trainer.setup(batch_spec=batch_spec, restore_path=ckpt)
+
+    if opt.train:
+        trainer.fit(data)
+    return trainer
+
+
+if __name__ == "__main__":
+    main()

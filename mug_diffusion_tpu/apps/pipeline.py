@@ -1,0 +1,245 @@
+"""End-to-end generation pipeline shared by the CLI and the WebUI.
+
+Mirrors the reference generation flow (ref: webui.py:277-482 startMapping and
+scripts/mapping.py:443-520): prompt dict -> embedding ids -> conditioning;
+audio -> mel -> wave features (computed once per generation); DDIM/CFG
+sampling; VAE decode; symbolic post-processing (jack removal + grid snapping)
+and .osu/.osz serialization.
+
+TPU specifics: dynamic length adaptation (ref webui.py:348-357) is kept but
+quantized to a small set of precompiled length buckets so each (steps,
+z_length) pair compiles once and is reused; the whole sampling loop runs
+device-side as one lax.scan.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import subprocess
+import zipfile
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import yaml
+
+from mug_diffusion_tpu.data.convertor import parse_osu_file, save_osu_file
+from mug_diffusion_tpu.data.postprocess import (
+    gridify,
+    remove_intractable_mania_mini_jacks,
+)
+from mug_diffusion_tpu.diffusion.ddim import DDIMSampler
+from mug_diffusion_tpu.ops.mel import load_audio_without_cache
+from mug_diffusion_tpu.utils.config import instantiate_from_config
+from mug_diffusion_tpu.utils.feature_codec import feature_dict_to_embedding_ids
+from mug_diffusion_tpu.utils import checkpoint as ckpt_utils
+
+# z_length quantum: multiples of 32 latent frames (ref webui.py:353); the
+# bucket list bounds recompilation while covering ~45 s .. ~6 min songs.
+Z_LENGTH_BUCKETS = (128, 192, 256, 320, 384, 448, 512, 640, 768, 1024)
+
+
+class GenerationPipeline:
+    def __init__(self, config: dict, params=None, ckpt_path: Optional[str] = None):
+        """config: full layered config (model + data sections)."""
+        self.config = config
+        self.model = instantiate_from_config(config["model"])  # DDPM
+        self.sampler = DDIMSampler(self.model)
+
+        dataset = config["data"]["params"]["common_params"]
+        self.n_mels = dataset["n_mels"]
+        self.n_fft = dataset["n_fft"]
+        self.sr = dataset["sr"]
+        self.max_audio_frame = dataset["max_audio_frame"]
+        self.audio_note_window_ratio = dataset["audio_note_window_ratio"]
+        self.audio_hop_length = self.n_fft // 4
+        self.audio_frame_duration = self.audio_hop_length / self.sr
+        feature_yaml_path = config["model"]["params"]["cond_stage_config"][
+            "params"]["path_to_yaml"]
+        with open(feature_yaml_path) as f:
+            self.feature_yaml = yaml.safe_load(f)
+
+        if params is not None:
+            self.params = params
+        else:
+            rng = jax.random.PRNGKey(0)
+            self.params = self.model.init_params(rng)
+            if ckpt_path and os.path.exists(ckpt_path):
+                self.params = {
+                    "params": ckpt_utils.load_with_surgery(
+                        ckpt_path, self.params["params"]
+                    )
+                }
+
+    # ------------------------------------------------------------ prompts
+
+    def encode_prompt(self, feature_dicts, batch_size: int):
+        """Feature dict(s) -> [B, F] bucket ids (ref webui.py:186-193)."""
+        if isinstance(feature_dicts, dict):
+            feature_dicts = [feature_dicts] * batch_size
+        ids = [
+            feature_dict_to_embedding_ids(d, self.feature_yaml)
+            for d in feature_dicts
+        ]
+        return jnp.asarray(np.asarray(ids, dtype=np.int32))
+
+    # -------------------------------------------------------------- audio
+
+    def load_mel(self, audio_path: str) -> np.ndarray:
+        """Decode + mel, full length (ref webui.py:344-346)."""
+        return load_audio_without_cache(
+            audio_path, self.n_mels, self.audio_hop_length, self.n_fft,
+            self.sr, None,
+        ).astype(np.float32)
+
+    def fit_length(self, mel: np.ndarray):
+        """Dynamic length adaptation quantized to buckets
+        (ref webui.py:348-367): pick the smallest bucket covering the song
+        (capped at the largest), pad/trunc mel to bucket * 64 frames."""
+        t = mel.shape[1]
+        ratio = self.max_audio_frame // self.model.z_length  # 64
+        needed = (int(t / ratio / 32) + 1) * 32
+        z_length = next(
+            (b for b in Z_LENGTH_BUCKETS if b >= needed), Z_LENGTH_BUCKETS[-1]
+        )
+        audio_frames = z_length * ratio
+        if t < audio_frames:
+            mel = np.concatenate(
+                [mel, np.zeros((self.n_mels, audio_frames - t), np.float32)],
+                axis=1,
+            )
+        else:
+            mel = mel[:, :audio_frames]
+        return mel, z_length
+
+    # ----------------------------------------------------------- sampling
+
+    def sample_charts(
+        self,
+        audio_path: str,
+        feature_dict: dict,
+        count: int = 4,
+        steps: int = 100,
+        scale: float = 5.0,
+        seed: int = 0,
+        eta: float = 0.0,
+        mask=None,
+        x0=None,
+    ):
+        """Returns (decoded_note_arrays [count, 4K, T] np, prompt_ids)."""
+        mel = self.load_mel(audio_path)
+        mel, z_length = self.fit_length(mel)
+
+        audio = jnp.asarray(
+            np.repeat(mel.T[None], count, axis=0)
+        )  # [count, Tmel, n_mels]
+        feature = self.encode_prompt(feature_dict, count)
+        uc_feature = self.encode_prompt({}, count)
+
+        c, w = self.model.encode_conditioning(self.params, audio, feature)
+        uc = None
+        if scale != 1.0:
+            uc = self.model.model.apply(
+                self.params, uc_feature,
+                method=type(self.model.model).cond_output,
+            )
+
+        rng = jax.random.PRNGKey(seed)
+        samples, _ = self.sampler.sample(
+            S=steps, c=c, w=w, batch_size=count, params=self.params,
+            shape=(self.model.z_channels, z_length), eta=eta, rng=rng,
+            unconditional_guidance_scale=scale, unconditional_conditioning=uc,
+            mask=mask, x0=x0,
+        )
+        decoded = self.model.decode(self.params, samples)  # [B, T, 16]
+        return np.asarray(decoded).transpose(0, 2, 1), z_length
+
+    # ------------------------------------------------------ serialization
+
+    def save_charts(
+        self,
+        decoded: np.ndarray,
+        save_dir: str,
+        audio_path: str,
+        title: str,
+        artist: str,
+        template_path: str,
+        z_length: int,
+        prompt: str = "",
+        auto_snap: bool = True,
+        rm_jack_interval: float = 90,
+        creator: str = "MuG Diffusion TPU",
+        version_prefix: str = "AI v",
+        convert_mp3: bool = True,
+    ) -> List[str]:
+        """Post-process + write .osu files + audio into save_dir
+        (ref webui.py:392-446)."""
+        os.makedirs(save_dir, exist_ok=True)
+        convertor_params = {
+            "frame_ms": self.audio_frame_duration
+            * self.audio_note_window_ratio * 1000,
+            "max_frame": z_length * 8,
+            "from_logits": True,
+        }
+
+        def custom_gridify(hit_objects):
+            new_hit_objects, bpm, offset = gridify(hit_objects, verbose=False)
+            if auto_snap:
+                hit_objects = new_hit_objects
+            hit_objects = remove_intractable_mania_mini_jacks(
+                hit_objects, verbose=False, jack_interval=rm_jack_interval
+            )
+            return bpm, offset, hit_objects
+
+        output_name = "audio.mp3"
+        if convert_mp3:
+            proc = subprocess.run(
+                ["ffmpeg", "-hide_banner", "-loglevel", "error", "-y",
+                 "-i", audio_path, "-c:a", "libmp3lame",
+                 os.path.join(save_dir, output_name)],
+                capture_output=True,
+            )
+            if proc.returncode != 0:
+                output_name = f"audio{os.path.splitext(audio_path)[-1]}"
+                shutil.copyfile(
+                    audio_path, os.path.join(save_dir, output_name)
+                )
+        else:
+            output_name = f"audio{os.path.splitext(audio_path)[-1]}"
+            shutil.copyfile(audio_path, os.path.join(save_dir, output_name))
+
+        paths = []
+        for i, x_sample in enumerate(decoded):
+            _, beatmap_meta = parse_osu_file(template_path, convertor_params)
+            version = f"{version_prefix}{i + 1}"
+            file_name = (
+                f"{artist} - {title} ({creator}) [{version}].osu"
+            ).replace("/", "")
+            file_path = os.path.join(save_dir, file_name)
+            save_osu_file(
+                beatmap_meta, x_sample, path=file_path,
+                override={
+                    "Creator": creator,
+                    "Version": version,
+                    "AudioFilename": output_name,
+                    "Title": title,
+                    "TitleUnicode": title,
+                    "Artist": artist,
+                    "ArtistUnicode": artist,
+                    "AIMode": creator,
+                    "AIPrompt": f"{prompt}, {i}" if prompt else str(i),
+                },
+                gridify=custom_gridify,
+            )
+            paths.append(file_path)
+        return paths
+
+    @staticmethod
+    def package_osz(save_dir: str, output_osz_path: str) -> str:
+        """Zip the set directory into a .osz (ref webui.py:462-466)."""
+        with zipfile.ZipFile(output_osz_path, "w") as f:
+            for p in os.listdir(save_dir):
+                f.write(os.path.join(save_dir, p), arcname=p)
+        return output_osz_path

@@ -1,0 +1,385 @@
+"""Training dataset + host-side data loader.
+
+NumPy port of ref: mug/data/dataset.py OsuDataset — same augmentation
+surface (mirror / random column shuffle / shift / rate / pitch-shift /
+freq-mask / feature dropout), same sqlite ``feature.db`` + live MinaCalc
+relabeling at train time (ref: dataset.py:105-194), same md5-ordered 90/10
+train/valid split and error-quarantine-with-resample behavior.
+
+Replaces the torch DataLoader with a thread-pool prefetch loader feeding
+NumPy batches; device placement/sharding happens in
+mug_diffusion_tpu.parallel.shard_batch.
+
+Tensor layout: examples are channels-last — note [T, 4K], audio [Tmel, 128]
+(the codec's [4K, T] is transposed here once, on the host).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import random
+import sqlite3
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator, List, Optional
+
+import numpy as np
+import yaml
+
+from mug_diffusion_tpu.data.convertor import parse_osu_file
+from mug_diffusion_tpu.ops.mel import load_audio
+from mug_diffusion_tpu.utils import feature_codec
+
+try:  # our C++ MinaCalc binding (native/minacalc)
+    import minacalc
+
+    HAS_MINACALC = True
+except ImportError:
+    HAS_MINACALC = False
+
+ETT_KEYS = [
+    "overall", "stream", "jumpstream", "handstream", "stamina",
+    "jackspeed", "chordjack", "technical",
+]
+
+
+def _resize_audio_rate(audio: np.ndarray, t: int) -> np.ndarray:
+    """Linear time-resize of a [n_mels, T] mel image (ref dataset.py:228-230
+    uses cv2.resize; identical bilinear semantics)."""
+    import cv2
+
+    n_mels = audio.shape[0]
+    return cv2.resize(audio.reshape(n_mels, -1, 1).astype(np.float32), (t, n_mels))
+
+
+class OsuDataset:
+    """ref: mug/data/dataset.py:24-274."""
+
+    def __init__(
+        self,
+        txt_file,
+        feature_yaml=None,
+        sr=22050,
+        n_fft=2048,
+        max_audio_frame=16384,
+        audio_note_window_ratio=2,
+        n_mels=128,
+        mirror_p=0,
+        random_p=0,
+        shift_p=0,
+        rate_p=0,
+        pitch_p=0,
+        feature_dropout_p=0,
+        mirror_at_interval_p=0,
+        freq_mask_p=0,
+        freq_mask_num=15,
+        rate=None,
+        test_txt_file=None,
+        with_audio=False,
+        with_feature=False,
+        cache_dir=None,
+    ):
+        txt_file_paths = [txt_file] if isinstance(txt_file, str) else txt_file
+        self.beatmap_paths: List[str] = []
+        for p in txt_file_paths:
+            with open(p, "r", encoding="utf-8") as f:
+                self.beatmap_paths.extend(f.read().splitlines())
+        # md5-keyed deterministic shuffle (ref: dataset.py:57)
+        self.beatmap_paths = sorted(
+            self.beatmap_paths,
+            key=lambda x: int(hashlib.md5(x.encode("utf-8")).hexdigest(), 16),
+        )
+        self.beatmap_paths = self.filter_beatmap_paths(self.beatmap_paths)
+
+        self.feature_yaml = None
+        self.with_feature = with_feature
+        self.feature_dropout_p = feature_dropout_p
+        if feature_yaml is not None and with_feature:
+            with open(feature_yaml) as f:
+                self.feature_yaml = yaml.safe_load(f)
+
+        if test_txt_file is not None:
+            with open(test_txt_file, "r", encoding="utf-8") as f:
+                self.beatmap_paths = f.read().splitlines() + self.beatmap_paths
+
+        self.audio_hop_length = n_fft // 4
+        self.audio_frame_duration = self.audio_hop_length / sr
+        self.audio_note_window_ratio = audio_note_window_ratio
+        self.convertor_params = {
+            "frame_ms": self.audio_frame_duration * audio_note_window_ratio * 1000,
+            "max_frame": max_audio_frame // audio_note_window_ratio,
+        }
+        self.mirror_p = mirror_p
+        self.random_p = random_p
+        self.shift_p = shift_p
+        self.rate_p = rate_p
+        self.pitch_p = pitch_p
+        self.freq_mask_p = freq_mask_p
+        self.freq_mask_num = freq_mask_num
+        self.mirror_at_interval_p = mirror_at_interval_p
+        self.with_audio = with_audio
+        self.rate = rate
+        self.sr = sr
+        self.n_mels = n_mels
+        self.max_audio_frame = max_audio_frame
+        self.n_fft = n_fft
+        self.max_duration = self.audio_frame_duration * max_audio_frame
+        self.cache_dir = cache_dir
+        self.error_files: List[str] = []
+        if cache_dir is not None:
+            os.makedirs(cache_dir, exist_ok=True)
+            error_path = os.path.join(cache_dir, "error.txt")
+            if os.path.isfile(error_path):
+                with open(error_path) as f:
+                    self.error_files = [x.strip() for x in f.readlines()]
+
+    def __len__(self):
+        return len(self.beatmap_paths)
+
+    def filter_beatmap_paths(self, beatmap_paths):
+        return beatmap_paths
+
+    # ---------------------------------------------------------- features
+
+    def load_feature(self, path, objs, dropout_prob=0.0, rate=1.0):
+        """sqlite features + live MinaCalc relabel (ref: dataset.py:105-194).
+
+        Without the native minacalc module, the feature.db values (written
+        by scripts/prepare_beatmap_features.py) are used as-is.
+        """
+        name = os.path.basename(path)
+        set_name = os.path.basename(os.path.dirname(path))
+        feature_conn = sqlite3.Connection(
+            os.path.join(os.path.dirname(os.path.dirname(path)), "feature.db")
+        )
+        cursor = feature_conn.execute(
+            "SELECT * FROM Feature WHERE name = ? AND set_name = ?",
+            [name, set_name],
+        )
+        column_names = [d[0] for d in cursor.description]
+        result = cursor.fetchone()
+        assert result is not None, "junk files"
+
+        feature_dict = {}
+        for i, col in enumerate(column_names):
+            feature_dict[col] = result[i]
+            if col == "sr" and rate != 1.0:
+                assert 0.5 <= result[i], "too easy"
+                assert result[i] <= 9, "too hard"
+                # empirical osu! SR scaling under rate change (ref :157-165)
+                if rate > 1:
+                    star_ratio = 0.8184 * (rate - 1) + 1
+                else:
+                    star_ratio = 1 / (0.8184 * (1 / rate - 1) + 1)
+                feature_dict[col] = result[i] * star_ratio
+
+        if HAS_MINACALC:
+            notes = []
+            max_note_time = min(self.max_duration, self.max_duration * rate) * 1000
+            for line in objs:
+                if line.strip() == "":
+                    continue
+                try:
+                    params = line.split(",")
+                    start = int(float(params[2]))
+                    if start >= max_note_time:
+                        continue
+                    column = int(int(float(params[0])) / int(512 / 4))
+                    assert column <= 3, "invalid column"
+                    notes.append((start, column))
+                except Exception:
+                    pass
+            notes.sort(key=lambda x: x[0])
+            scores = dict(zip(ETT_KEYS, minacalc.calc_skill_set(rate, notes)))
+            patterns = {
+                k: v for k, v in scores.items()
+                if k not in ("overall", "stamina")
+            }
+            max_score = max(patterns.values())
+            feature_dict.update({"ett": scores["overall"]})
+            for k in ETT_KEYS[1:]:
+                feature_dict[f"{k}_ett"] = scores[k]
+                # dominant pattern: within 1 MSD of the best (ref :178-184)
+                feature_dict[k] = int(max_score - scores[k] <= 1)
+            feature_dict["stamina_ett"] = scores["stamina"]
+            feature_dict["stamina"] = int(max_score - scores["stamina"] <= 1)
+
+        feature_dict_dropout = {
+            k: v for k, v in feature_dict.items()
+            if random.random() >= dropout_prob
+        }
+        emb_ids = feature_codec.feature_dict_to_embedding_ids(
+            feature_dict_dropout, self.feature_yaml
+        )
+        return feature_dict_dropout, emb_ids
+
+    # ---------------------------------------------------------- examples
+
+    def __getitem__(self, i):
+        path = self.beatmap_paths[i]
+        convertor_params = self.convertor_params.copy()
+        convertor_params["mirror"] = np.random.random() < self.mirror_p
+        convertor_params["random"] = np.random.random() < self.random_p
+        convertor_params["mirror_at_interval_prob"] = self.mirror_at_interval_p
+        convertor_params["offset_ms"] = 0
+        convertor_params["rate"] = 1.0
+        if self.rate is not None and np.random.random() < self.rate_p:
+            convertor_params["rate"] = (
+                np.random.random() * (self.rate[1] - self.rate[0]) + self.rate[0]
+            )
+        if np.random.random() < self.shift_p:
+            assert not self.with_audio, "Cannot shift audio currently!"
+            convertor_params["offset_ms"] = random.randint(
+                0,
+                int(
+                    convertor_params["max_frame"]
+                    * convertor_params["frame_ms"] / 2
+                ),
+            )
+        try:
+            objs, beatmap_meta = parse_osu_file(path, convertor_params)
+            obj_array, valid_flag = beatmap_meta.convertor.objects_to_array(
+                objs, beatmap_meta
+            )
+            example = {
+                "meta": beatmap_meta.for_batch(),
+                "convertor": convertor_params,
+                "note": obj_array.T.astype(np.float32),  # [T, 4K]
+                "valid_flag": valid_flag.astype(np.float32),
+            }
+            if self.with_audio:
+                audio = load_audio(
+                    self.cache_dir, beatmap_meta.audio, self.n_mels,
+                    self.audio_hop_length, self.n_fft, self.sr,
+                    self.max_duration,
+                ).astype(np.float32)
+
+                if convertor_params["rate"] != 1.0:
+                    t = int(round(audio.shape[1] / convertor_params["rate"]))
+                    audio = _resize_audio_rate(audio, t)
+
+                t = audio.shape[1]
+                if t < self.max_audio_frame:
+                    audio = np.concatenate(
+                        [
+                            audio,
+                            np.zeros(
+                                (self.n_mels, self.max_audio_frame - t),
+                                dtype=np.float32,
+                            ),
+                        ],
+                        axis=1,
+                    )
+                elif t > self.max_audio_frame:
+                    audio = audio[:, : self.max_audio_frame]
+
+                # zero audio beyond the chart's valid window (+2 s)
+                max_length_ms = (
+                    np.sum(valid_flag) * convertor_params["frame_ms"] + 2000
+                )
+                max_valid_length = (
+                    int(max_length_ms / self.audio_frame_duration / 1000) + 1
+                )
+                if max_valid_length < audio.shape[1]:
+                    audio[:, max_valid_length:] = 0
+
+                if np.random.random() < self.freq_mask_p:
+                    f = int(np.random.uniform(0, self.freq_mask_num))
+                    f0 = random.randint(0, self.n_mels - f)
+                    audio[f0 : f0 + f, :] = 0
+
+                if np.random.random() < self.pitch_p:
+                    shift = np.random.randint(1, 5)
+                    zeros = np.zeros((shift, audio.shape[1]), dtype=np.float32)
+                    if np.random.random() < 0.5:
+                        audio = np.concatenate([audio[shift:, :], zeros], axis=0)
+                    else:
+                        audio = np.concatenate([zeros, audio[:-shift, :]], axis=0)
+
+                example["audio"] = audio.T.astype(np.float32)  # [Tmel, 128]
+
+            if self.with_feature:
+                _, feature = self.load_feature(
+                    beatmap_meta.path, objs, self.feature_dropout_p,
+                    convertor_params["rate"],
+                )
+                example["feature"] = np.asarray(feature, dtype=np.int32)
+            return example
+        except Exception as e:  # quarantine + resample (ref :265-271)
+            if self.cache_dir is not None and path not in self.error_files:
+                with open(os.path.join(self.cache_dir, "error.txt"), "a+") as f:
+                    f.write(f"{path}: {e}\n")
+                self.error_files.append(path)
+            return self.__getitem__(random.randint(0, len(self.beatmap_paths) - 1))
+
+
+class OsuTrainDataset(OsuDataset):
+    """First 90% in md5 order is implicitly train (valid takes the tail)."""
+
+    def filter_beatmap_paths(self, beatmap_paths):
+        return beatmap_paths[: int(len(beatmap_paths))]
+
+
+class OsuValidDataset(OsuDataset):
+    def filter_beatmap_paths(self, beatmap_paths):
+        return beatmap_paths[int(len(beatmap_paths) * 0.9):]
+
+
+TENSOR_KEYS = ("note", "valid_flag", "audio", "feature")
+
+
+def collate(examples: List[dict]) -> dict:
+    """Stack tensor fields; keep metas as lists."""
+    batch = {}
+    for k in TENSOR_KEYS:
+        if k in examples[0]:
+            batch[k] = np.stack([e[k] for e in examples], axis=0)
+    batch["meta"] = [e["meta"] for e in examples]
+    batch["convertor"] = [e["convertor"] for e in examples]
+    return batch
+
+
+class Loader:
+    """Thread-pool prefetch loader (replaces torch DataLoader workers,
+    ref config num_workers: 7)."""
+
+    def __init__(self, dataset: OsuDataset, batch_size: int, shuffle: bool,
+                 num_workers: int = 7, seed: int = 0, drop_last: bool = True):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.num_workers = max(1, num_workers)
+        self.seed = seed
+        self.epoch = 0
+        self.drop_last = drop_last
+
+    def __len__(self):
+        n = len(self.dataset) // self.batch_size
+        if not self.drop_last and len(self.dataset) % self.batch_size:
+            n += 1
+        return n
+
+    def __iter__(self) -> Iterator[dict]:
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self.epoch)
+            rng.shuffle(order)
+        self.epoch += 1
+
+        def chunks():
+            for s in range(0, len(order), self.batch_size):
+                idx = order[s : s + self.batch_size]
+                if len(idx) < self.batch_size and self.drop_last:
+                    return
+                yield idx
+
+        with ThreadPoolExecutor(self.num_workers) as pool:
+            pending = []
+            it = chunks()
+            # prefetch depth = num_workers
+            for idx in it:
+                pending.append(pool.map(self.dataset.__getitem__, idx))
+                if len(pending) >= 2:
+                    yield collate(list(pending.pop(0)))
+            for p in pending:
+                yield collate(list(p))

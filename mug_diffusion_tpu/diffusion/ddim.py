@@ -1,0 +1,199 @@
+"""DDIM sampler with classifier-free guidance, jitted as one lax.scan.
+
+Re-design of ref: mug/diffusion/ddim.py for XLA: the reference iterates a
+Python loop over S steps (ddim.py:137) launching 2 batched U-Net calls per
+step; here the entire trajectory is a single ``lax.scan`` whose per-step
+constants (alphas, sigmas, timesteps) are stacked scan inputs — XLA compiles
+one step body, hoists the loop-invariant conditioning (and every S4 kernel)
+out of the loop, and the whole sampler runs device-side with zero host
+round-trips. CFG doubles the batch exactly like the reference
+(ddim.py:170-175). Masked inpainting re-noises the kept region each step
+(ddim.py:141-144).
+
+Compiled executables are cached per (steps, shape, cfg, mask) signature —
+the reference recomputes its schedule per call (ddim.py:85); we memoize.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mug_diffusion_tpu.diffusion.ddpm import DDPM
+from mug_diffusion_tpu.diffusion.schedules import (
+    make_ddim_sampling_parameters,
+    make_ddim_timesteps,
+)
+
+
+class DDIMSampler:
+    """ref: mug/diffusion/ddim.py:11-196."""
+
+    def __init__(self, model: DDPM, schedule: str = "linear"):
+        self.model = model
+        self.ddpm_num_timesteps = model.num_timesteps
+        self.schedule = schedule
+        self._cache = {}
+
+    def make_schedule(
+        self, ddim_num_steps: int, ddim_discretize: str = "uniform",
+        ddim_eta: float = 0.0,
+    ):
+        """Stacked per-step constants, reversed to sampling order
+        (ref: ddim.py:24-53)."""
+        ddim_timesteps = make_ddim_timesteps(
+            ddim_discretize, ddim_num_steps, self.ddpm_num_timesteps
+        )
+        alphacums = np.asarray(self.model.schedule.alphas_cumprod, np.float64)
+        sigmas, alphas, alphas_prev = make_ddim_sampling_parameters(
+            alphacums, ddim_timesteps, ddim_eta
+        )
+        # sampling iterates np.flip(timesteps) (ref: ddim.py:130); index runs
+        # from S-1 down to 0, so flip all tables into visit order.
+        order = slice(None, None, -1)
+        return dict(
+            timesteps=ddim_timesteps[order].copy(),
+            alphas=alphas[order].astype(np.float32),
+            alphas_prev=alphas_prev[order].astype(np.float32),
+            sigmas=sigmas[order].astype(np.float32),
+            sqrt_one_minus_alphas=np.sqrt(1.0 - alphas)[order].astype(np.float32),
+        )
+
+    def sample(
+        self,
+        S: int,
+        c,
+        w,
+        batch_size: int,
+        params=None,
+        shape: Optional[Tuple[int, int]] = None,
+        eta: float = 0.0,
+        mask=None,
+        x0=None,
+        temperature: float = 1.0,
+        noise_dropout: float = 0.0,
+        x_T=None,
+        rng=None,
+        log_every_t: int = 100,
+        unconditional_guidance_scale: float = 1.0,
+        unconditional_conditioning=None,
+        **kwargs,
+    ):
+        """ref: mug/diffusion/ddim.py:56-107. Returns (samples, intermediates).
+
+        ``params`` is the DDPM variables pytree; ``rng`` a JAX PRNG key.
+        """
+        assert params is not None and rng is not None
+        if shape is None:
+            size = (batch_size, self.model.z_length, self.model.z_channels)
+        else:
+            # reference passes (channels, length); our layout is [B, T, C]
+            size = (batch_size, shape[1], shape[0])
+
+        sched = self.make_schedule(S, ddim_eta=eta)
+        use_cfg = (
+            unconditional_conditioning is not None
+            and unconditional_guidance_scale != 1.0
+        )
+
+        if x_T is None:
+            rng, rng_init = jax.random.split(rng)
+            x = jax.random.normal(rng_init, size)
+        else:
+            x = x_T
+
+        if use_cfg:
+            c_in = jnp.concatenate([unconditional_conditioning, c], axis=0)
+            w_in = [jnp.concatenate([wi, wi], axis=0) for wi in w]
+        else:
+            c_in = c
+            w_in = list(w)
+
+        fn = self._get_step_fn(
+            S, size, use_cfg, mask is not None,
+            temperature, noise_dropout, len(w_in),
+        )
+        mask_arg = (
+            jnp.zeros(size) if mask is None else jnp.broadcast_to(mask, size)
+        )
+        x0_arg = jnp.zeros(size) if x0 is None else x0
+        xs, pred_x0s = fn(
+            params, x, c_in, w_in, mask_arg, x0_arg, rng,
+            jnp.asarray(sched["timesteps"], jnp.int32),
+            jnp.asarray(sched["alphas"]),
+            jnp.asarray(sched["alphas_prev"]),
+            jnp.asarray(sched["sigmas"]),
+            jnp.asarray(sched["sqrt_one_minus_alphas"]),
+            unconditional_guidance_scale,
+        )
+        samples = xs[-1]
+        total = xs.shape[0]
+        log_idx = [
+            i for i in range(total)
+            if (total - i - 1) % log_every_t == 0 or i == 0
+        ]
+        intermediates = {
+            "x_inter": [xs[i] for i in log_idx],
+            "pred_x0": [pred_x0s[i] for i in log_idx],
+        }
+        return samples, intermediates
+
+    def _get_step_fn(
+        self, S, size, use_cfg, use_mask, temperature, noise_dropout, n_w
+    ):
+        key = (S, size, use_cfg, use_mask, temperature, noise_dropout, n_w)
+        if key in self._cache:
+            return self._cache[key]
+
+        model = self.model
+
+        @jax.jit
+        def run(params, x, c_in, w_in, mask, x0, rng, timesteps, alphas,
+                alphas_prev, sigmas, sqrt_omas, guidance_scale):
+            B = size[0]
+
+            def step(carry, per_step):
+                x, rng = carry
+                ts, a_t, a_prev, sigma_t, sqrt_oma = per_step
+                t_vec = jnp.full((B,), ts, jnp.int32)
+
+                if use_mask:
+                    rng, rng_q = jax.random.split(rng)
+                    noise_q = jax.random.normal(rng_q, x.shape)
+                    x_orig = model.q_sample(x0, t_vec, noise_q)
+                    x = x_orig * mask + (1.0 - mask) * x
+
+                if use_cfg:
+                    x_dbl = jnp.concatenate([x, x], axis=0)
+                    t_dbl = jnp.concatenate([t_vec, t_vec], axis=0)
+                    out = model.apply_model(params, x_dbl, t_dbl, c_in, w_in)
+                    e_uncond, e_cond = jnp.split(out, 2, axis=0)
+                    e_t = e_uncond + guidance_scale * (e_cond - e_uncond)
+                else:
+                    e_t = model.apply_model(params, x, t_vec, c_in, w_in)
+
+                pred_x0 = (x - sqrt_oma * e_t) / jnp.sqrt(a_t)
+                dir_xt = jnp.sqrt(1.0 - a_prev - sigma_t ** 2) * e_t
+                rng, rng_n = jax.random.split(rng)
+                noise = sigma_t * jax.random.normal(rng_n, x.shape) * temperature
+                if noise_dropout > 0.0:
+                    rng, rng_d = jax.random.split(rng)
+                    keep = jax.random.bernoulli(
+                        rng_d, 1.0 - noise_dropout, noise.shape
+                    )
+                    noise = jnp.where(keep, noise / (1.0 - noise_dropout), 0.0)
+                x_prev = jnp.sqrt(a_prev) * pred_x0 + dir_xt + noise
+                return (x_prev, rng), (x_prev, pred_x0)
+
+            (_, _), (xs, pred_x0s) = jax.lax.scan(
+                step, (x, rng),
+                (timesteps, alphas, alphas_prev, sigmas, sqrt_omas),
+            )
+            return xs, pred_x0s
+
+        self._cache[key] = run
+        return run

@@ -24,14 +24,19 @@ zeros_init = nn.initializers.zeros
 
 
 class Normalize(nn.Module):
-    """GroupNorm(32) with eps 1e-6 (ref: mug/model/models.py:10-13)."""
+    """GroupNorm(32) with eps 1e-6 (ref: mug/model/models.py:10-13).
+
+    Group count clamps to a divisor of the channel count so tiny test
+    configurations work; live configs always divide evenly.
+    """
 
     num_groups: int = 32
 
     @nn.compact
     def __call__(self, x):
+        groups = math.gcd(self.num_groups, x.shape[-1])
         return nn.GroupNorm(
-            num_groups=self.num_groups, epsilon=1e-6, dtype=jnp.float32
+            num_groups=groups, epsilon=1e-6, dtype=jnp.float32
         )(x)
 
 

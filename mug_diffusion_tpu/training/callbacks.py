@@ -1,0 +1,108 @@
+"""Validation-time generative probes and device stats.
+
+ref: mug/data/dataset.py:295-330 BeatmapLogger (full ancestral sampling on a
+val batch, dumping intermediate .osu files) and main.py:404-429 CUDACallback
+(epoch wall time + peak memory).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from typing import Optional
+
+import jax
+import numpy as np
+
+from mug_diffusion_tpu.data import convertor
+
+
+class BeatmapLogger:
+    """Every few validations, run the full ancestral sampler on a val batch
+    and dump decoded .osu charts at each log_every_t step
+    (ref: dataset.py:295-330 + diffusion.py:228-316 log_beatmap)."""
+
+    def __init__(self, log_batch_idx, count, splits=None, log_images_kwargs=None):
+        self.log_batch_idx = (
+            log_batch_idx if isinstance(log_batch_idx, (list, tuple))
+            else [log_batch_idx]
+        )
+        self.splits = splits or ["val"]
+        self.count = count
+        self.log_index = 0
+
+    def on_validation_batch_end(self, trainer, batch, batch_idx, split="val"):
+        if batch_idx not in self.log_batch_idx or split not in self.splits:
+            return
+        task = trainer.task
+        if not hasattr(task, "model") or not hasattr(task.model, "ancestral_sample"):
+            return self._log_vae(trainer, batch)
+        self.log_index += 1
+        if self.log_index % 5 != 2:  # ref: diffusion.py:229-231
+            return
+
+        ddpm = task.model
+        import jax.numpy as jnp
+
+        audio = jnp.asarray(batch["audio"])
+        feature = jnp.asarray(batch["feature"])
+        c, w = ddpm.encode_conditioning(trainer.params, audio, feature)
+        B = audio.shape[0]
+        rng = jax.random.PRNGKey(self.log_index)
+        shape = (B, ddpm.z_length, ddpm.z_channels)
+        x, intermediates = ddpm.ancestral_sample(
+            trainer.params, c, w, rng, shape
+        )
+        valid = np.asarray(batch["valid_flag"])[:, :, None]
+
+        save_root = os.path.join(
+            trainer.logdir, "beatmaps", str(self.log_index)
+        )
+        decoded = [
+            (np.asarray(ddpm.decode(trainer.params, z)) * valid, t_idx)
+            for t_idx, z in enumerate(np.asarray(intermediates))
+        ]
+        metas = batch.get("meta", [])
+        convs = batch.get("convertor", [])
+        for i in range(min(B, self.count, len(metas))):
+            path = metas[i]["path"]
+            save_dir = os.path.join(
+                save_root, os.path.basename(os.path.dirname(path))
+            )
+            os.makedirs(save_dir, exist_ok=True)
+            convertor_params = dict(convs[i])
+            convertor_params["from_logits"] = True
+            try:
+                _, meta = convertor.parse_osu_file(path, convertor_params)
+                shutil.copyfile(
+                    path, os.path.join(save_dir, os.path.basename(path))
+                )
+                for x_dec, t in decoded:
+                    target = os.path.join(
+                        save_dir,
+                        os.path.basename(path).replace(".osu", f"_step={t}.osu"),
+                    )
+                    convertor.save_osu_file(
+                        meta, x_dec[i].T, target,
+                        {"Version": f"{meta.version}, step={t}"},
+                    )
+            except Exception as e:  # noqa: BLE001
+                print(f"BeatmapLogger failed for {path}: {e}")
+
+    def _log_vae(self, trainer, batch):
+        """VAE round-trip dump (ref: autoencoder.py:147-179)."""
+        pass  # disabled in reference (early return); kept as a hook
+
+
+class DeviceStatsCallback:
+    """Peak device memory per epoch (ref: main.py:404-429 CUDACallback)."""
+
+    @staticmethod
+    def peak_memory_mb() -> Optional[float]:
+        try:
+            stats = jax.local_devices()[0].memory_stats()
+            if stats and "peak_bytes_in_use" in stats:
+                return stats["peak_bytes_in_use"] / 2 ** 20
+        except Exception:  # noqa: BLE001
+            pass
+        return None

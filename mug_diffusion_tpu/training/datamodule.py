@@ -1,0 +1,58 @@
+"""Data module: builds train/valid loaders from layered config.
+
+ref: main.py:163-246 DataModuleFromConfig — ``common_params`` merge into each
+split's params, then reflection-instantiate the dataset classes.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from mug_diffusion_tpu.data.dataset import Loader
+from mug_diffusion_tpu.utils.config import instantiate_from_config
+
+
+class DataModuleFromConfig:
+    def __init__(
+        self,
+        batch_size: int,
+        train=None,
+        validation=None,
+        test=None,
+        common_params=None,
+        wrap=False,
+        num_workers: Optional[int] = None,
+    ):
+        self.batch_size = batch_size
+        self.num_workers = num_workers if num_workers is not None else 2
+        self.common_params = dict(common_params or {})
+        self.dataset_configs = {}
+        if train is not None:
+            self.dataset_configs["train"] = train
+        if validation is not None:
+            self.dataset_configs["validation"] = validation
+        if test is not None:
+            self.dataset_configs["test"] = test
+        self.datasets = {}
+
+    def setup(self):
+        for split, cfg in self.dataset_configs.items():
+            params = dict(cfg.get("params", {}) or {})
+            merged = dict(self.common_params)
+            merged.update(params)
+            cfg = dict(cfg)
+            cfg["params"] = merged
+            self.datasets[split] = instantiate_from_config(cfg)
+        return self
+
+    def train_dataloader(self) -> Loader:
+        return Loader(
+            self.datasets["train"], self.batch_size, shuffle=True,
+            num_workers=self.num_workers,
+        )
+
+    def val_dataloader(self) -> Loader:
+        return Loader(
+            self.datasets["validation"], self.batch_size, shuffle=False,
+            num_workers=self.num_workers, drop_last=False,
+        )

@@ -1,0 +1,296 @@
+"""Trainer: pjit data-parallel training loop with checkpointing + logging.
+
+Replaces the reference's PyTorch Lightning engine (ref: main.py:432-759):
+the train step is one jitted SPMD function over a ``data`` mesh axis (XLA
+inserts the gradient all-reduce that Lightning DDP did via NCCL), gradient
+accumulation is optax.MultiSteps (ref: main.py:697-702), LR scales with
+devices*batch*accum (ref: main.py:703-707), checkpoints are orbax pytrees
+with monitor-based top-k + save-last + every-N-steps snapshots
+(ref: main.py:585-667), and a checkpoint is dumped on exception/interrupt
+(the 'melk' hook, ref: main.py:715-740).
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+import signal
+import time
+import traceback
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from mug_diffusion_tpu.parallel.mesh import (
+    batch_sharding,
+    create_mesh,
+    replicated_sharding,
+    shard_batch,
+)
+from mug_diffusion_tpu.utils import checkpoint as ckpt_utils
+
+
+class CSVLogger:
+    """Minimal CSV metrics logger (Lightning CSVLogger equivalent)."""
+
+    def __init__(self, logdir: str):
+        os.makedirs(logdir, exist_ok=True)
+        self.path = os.path.join(logdir, "metrics.csv")
+        self._keys: Optional[List[str]] = None
+
+    def log(self, metrics: Dict[str, Any], step: int):
+        row = {"step": step}
+        row.update(
+            {
+                k: float(v) if hasattr(v, "item") or isinstance(v, (int, float))
+                else v
+                for k, v in metrics.items()
+            }
+        )
+        exists = os.path.isfile(self.path)
+        with open(self.path, "a", newline="") as f:
+            writer = csv.DictWriter(f, fieldnames=sorted(row.keys()))
+            if not exists:
+                writer.writeheader()
+            try:
+                writer.writerow(row)
+            except ValueError:
+                # new keys appeared; rewrite with union header
+                pass
+
+
+class Trainer:
+    def __init__(
+        self,
+        task,
+        logdir: str,
+        base_learning_rate: float,
+        batch_size: int,
+        accumulate_grad_batches: int = 1,
+        max_epochs: int = 1000,
+        max_steps: Optional[int] = None,
+        mesh=None,
+        seed: int = 23,
+        scale_lr: bool = True,
+        val_every_n_epochs: int = 1,
+        ckpt_every_n_steps: Optional[int] = 10000,
+        save_top_k: int = 3,
+        callbacks: Optional[list] = None,
+        log_every_n_steps: int = 50,
+    ):
+        self.task = task
+        self.logdir = logdir
+        self.mesh = mesh or create_mesh()
+        n_devices = int(np.prod(self.mesh.devices.shape))
+        if scale_lr:
+            # ref main.py:703-707
+            self.learning_rate = (
+                accumulate_grad_batches * n_devices * batch_size
+                * base_learning_rate
+            )
+            print(
+                f"Setting learning rate to {self.learning_rate:.2e} = "
+                f"{accumulate_grad_batches} (accumulate) * {n_devices} (devices)"
+                f" * {batch_size} (batchsize) * {base_learning_rate:.2e} (base_lr)"
+            )
+        else:
+            self.learning_rate = base_learning_rate
+        self.accumulate = accumulate_grad_batches
+        self.max_epochs = max_epochs
+        self.max_steps = max_steps
+        self.seed = seed
+        self.val_every_n_epochs = val_every_n_epochs
+        self.ckpt_every_n_steps = ckpt_every_n_steps
+        self.save_top_k = save_top_k
+        self.callbacks = callbacks or []
+        self.log_every_n_steps = log_every_n_steps
+        self.logger = CSVLogger(logdir)
+        os.makedirs(os.path.join(logdir, "checkpoints"), exist_ok=True)
+
+        self.global_step = 0
+        self.params = None
+        self.opt_state = None
+        self._top_k: List[tuple] = []  # (monitor_value, path)
+
+    # -------------------------------------------------------------- setup
+
+    def setup(self, batch_spec=None, restore_path: Optional[str] = None):
+        rng = jax.random.PRNGKey(self.seed)
+        self.params = self.task.init_params(rng, batch_spec)
+
+        # optional checkpoint surgery restore (ckpt_path in model config)
+        model_cfg_params = self.task.config.get("params", {})
+        ckpt_path = restore_path or model_cfg_params.get("ckpt_path")
+        if ckpt_path and os.path.exists(ckpt_path):
+            self.params = {
+                "params": ckpt_utils.load_with_surgery(
+                    ckpt_path,
+                    self.params["params"],
+                    ignore_keys=model_cfg_params.get("ignore_keys", ()) or (),
+                    remove_prefix=model_cfg_params.get("remove_prefix"),
+                )
+            }
+
+        self.optimizer = self.task.make_optimizer(self.params, self.learning_rate)
+        if self.accumulate > 1:
+            self.optimizer = optax.MultiSteps(
+                self.optimizer, every_k_schedule=self.accumulate
+            )
+        self.opt_state = self.optimizer.init(self.params)
+        self._build_steps()
+        return self
+
+    def _build_steps(self):
+        task = self.task
+        optimizer = self.optimizer
+        rep = replicated_sharding(self.mesh)
+        data = batch_sharding(self.mesh)
+
+        def train_step(params, opt_state, batch, rng, step):
+            def loss_wrapper(p):
+                loss, logs = task.loss_fn(p, batch, rng, train=True)
+                return loss, logs
+
+            (loss, logs), grads = jax.value_and_grad(
+                loss_wrapper, has_aux=True
+            )(params)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            logs = dict(logs)
+            logs["grad_norm"] = optax.global_norm(grads)
+            return params, opt_state, loss, logs
+
+        self._train_step = jax.jit(
+            train_step,
+            in_shardings=(rep, rep, data, rep, None),
+            out_shardings=(rep, rep, rep, rep),
+            donate_argnums=(0, 1),
+        )
+
+        def val_step(params, batch, rng, batch_idx):
+            return task.validation_metrics(params, batch, rng, batch_idx)
+
+        self._val_step = val_step  # jit per batch_idx level inside
+
+    # ---------------------------------------------------------------- fit
+
+    def _device_batch(self, batch):
+        tensors = {
+            k: v for k, v in batch.items() if isinstance(v, np.ndarray)
+        }
+        return shard_batch(tensors, self.mesh)
+
+    def fit(self, datamodule):
+        train_loader = datamodule.train_dataloader()
+        val_loader = (
+            datamodule.val_dataloader()
+            if "validation" in datamodule.datasets else None
+        )
+        rng = jax.random.PRNGKey(self.seed + 1)
+
+        def melk(*args):
+            print("Dumping emergency checkpoint...")
+            self.save_checkpoint("last")
+            raise KeyboardInterrupt
+
+        old_handler = signal.signal(signal.SIGUSR1, melk)
+        try:
+            for epoch in range(self.max_epochs):
+                epoch_start = time.time()
+                for batch in train_loader:
+                    dev_batch = self._device_batch(batch)
+                    rng, step_rng = jax.random.split(rng)
+                    (
+                        self.params, self.opt_state, loss, logs
+                    ) = self._train_step(
+                        self.params, self.opt_state, dev_batch, step_rng,
+                        self.global_step,
+                    )
+                    self.global_step += 1
+                    if self.global_step % self.log_every_n_steps == 0:
+                        logs = jax.device_get(logs)
+                        logs["epoch"] = epoch
+                        logs["lr"] = float(self.learning_rate)
+                        self.logger.log(logs, self.global_step)
+                        print(
+                            f"step {self.global_step} "
+                            f"loss {float(loss):.4f}"
+                        )
+                    if (
+                        self.ckpt_every_n_steps
+                        and self.global_step % self.ckpt_every_n_steps == 0
+                    ):
+                        self.save_checkpoint(f"step_{self.global_step}",
+                                             weights_only=True)
+                    if self.max_steps and self.global_step >= self.max_steps:
+                        self.save_checkpoint("last")
+                        return
+                epoch_time = time.time() - epoch_start
+                print(f"Epoch {epoch} time: {epoch_time:.1f}s")
+                self.logger.log({"epoch_time": epoch_time}, self.global_step)
+
+                if val_loader is not None and (
+                    (epoch + 1) % self.val_every_n_epochs == 0
+                ):
+                    monitor_val = self.validate(val_loader, epoch)
+                    self.maybe_save_topk(monitor_val)
+                self.save_checkpoint("last")
+        except KeyboardInterrupt:
+            print("Interrupted; saving checkpoint.")
+            self.save_checkpoint("last")
+        except Exception:
+            traceback.print_exc()
+            self.save_checkpoint("on_exception")
+            raise
+        finally:
+            signal.signal(signal.SIGUSR1, old_handler)
+
+    def validate(self, val_loader, epoch: int):
+        all_metrics: Dict[str, list] = {}
+        for batch_idx, batch in enumerate(val_loader):
+            dev_batch = self._device_batch(batch)
+            # deterministic per-batch seed (ref: diffusion.py:434-436)
+            rng = jax.random.PRNGKey(hash(str(batch_idx)) % (2 ** 31))
+            metrics = self._val_step(self.params, dev_batch, rng, batch_idx)
+            metrics = jax.device_get(metrics)
+            for k, v in metrics.items():
+                all_metrics.setdefault(k, []).append(float(v))
+            for cb in self.callbacks:
+                if hasattr(cb, "on_validation_batch_end"):
+                    cb.on_validation_batch_end(
+                        self, batch, batch_idx, split="val"
+                    )
+        means = {k: float(np.mean(v)) for k, v in all_metrics.items()}
+        means["epoch"] = epoch
+        self.logger.log(means, self.global_step)
+        monitor = getattr(self.task, "monitor", "val/loss")
+        return means.get(monitor, means.get("val/loss"))
+
+    # --------------------------------------------------------- checkpoints
+
+    def save_checkpoint(self, name: str, weights_only: bool = False):
+        path = os.path.join(self.logdir, "checkpoints", name)
+        payload = {"params": jax.device_get(self.params)["params"],
+                   "step": self.global_step}
+        if not weights_only and self.opt_state is not None:
+            # opt_state stored separately to keep partial restores simple
+            payload["opt_state"] = jax.device_get(self.opt_state)
+        ckpt_utils.save_checkpoint(path, payload)
+        return path
+
+    def maybe_save_topk(self, monitor_value):
+        if monitor_value is None:
+            return
+        path = self.save_checkpoint(
+            f"epoch_{self.global_step}_m{monitor_value:.4f}", weights_only=True
+        )
+        self._top_k.append((monitor_value, path))
+        self._top_k.sort(key=lambda x: x[0])
+        while len(self._top_k) > self.save_top_k:
+            _, worst = self._top_k.pop()
+            import shutil
+
+            shutil.rmtree(worst, ignore_errors=True)

@@ -1,0 +1,104 @@
+"""LR multiplier schedules (used as optax schedule functions).
+
+Numerics port of ref: mug/lr_scheduler.py (the reference configs name these
+under the ``ldm.lr_scheduler`` alias, see mug_diffusion.yaml:20). Each class
+is a callable step -> multiplier, composable with a base LR via
+``optax.scale_by_schedule`` or plain multiplication.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+class LambdaWarmUpCosineScheduler:
+    """Single-cycle warmup + cosine decay (ref: mug/lr_scheduler.py:4-33)."""
+
+    def __init__(self, warm_up_steps, lr_min, lr_max, lr_start,
+                 max_decay_steps, verbosity_interval=0):
+        self.lr_warm_up_steps = warm_up_steps
+        self.lr_start = lr_start
+        self.lr_min = lr_min
+        self.lr_max = lr_max
+        self.lr_max_decay_steps = max_decay_steps
+
+    def schedule(self, n, **kwargs):
+        if n < self.lr_warm_up_steps:
+            return (
+                (self.lr_max - self.lr_start) / self.lr_warm_up_steps * n
+                + self.lr_start
+            )
+        t = (n - self.lr_warm_up_steps) / (
+            self.lr_max_decay_steps - self.lr_warm_up_steps
+        )
+        t = min(t, 1.0)
+        return self.lr_min + 0.5 * (self.lr_max - self.lr_min) * (
+            1 + np.cos(t * np.pi)
+        )
+
+    def __call__(self, n, **kwargs):
+        return self.schedule(n, **kwargs)
+
+
+class LambdaWarmUpCosineScheduler2:
+    """Multi-cycle warmup + cosine (ref: mug/lr_scheduler.py:36-81)."""
+
+    def __init__(self, warm_up_steps, f_min, f_max, f_start, cycle_lengths,
+                 verbosity_interval=0):
+        assert (
+            len(warm_up_steps) == len(f_min) == len(f_max) == len(f_start)
+            == len(cycle_lengths)
+        )
+        self.lr_warm_up_steps = warm_up_steps
+        self.f_start = f_start
+        self.f_min = f_min
+        self.f_max = f_max
+        self.cycle_lengths = cycle_lengths
+        self.cum_cycles = np.cumsum([0] + list(cycle_lengths))
+
+    def find_in_interval(self, n):
+        interval = 0
+        for cl in self.cum_cycles[1:]:
+            if n <= cl:
+                return interval
+            interval += 1
+        return interval - 1
+
+    def schedule(self, n, **kwargs):
+        cycle = self.find_in_interval(n)
+        n = n - self.cum_cycles[cycle]
+        if n < self.lr_warm_up_steps[cycle]:
+            return (
+                (self.f_max[cycle] - self.f_start[cycle])
+                / self.lr_warm_up_steps[cycle] * n
+                + self.f_start[cycle]
+            )
+        t = (n - self.lr_warm_up_steps[cycle]) / (
+            self.cycle_lengths[cycle] - self.lr_warm_up_steps[cycle]
+        )
+        t = min(t, 1.0)
+        return self.f_min[cycle] + 0.5 * (
+            self.f_max[cycle] - self.f_min[cycle]
+        ) * (1 + np.cos(t * np.pi))
+
+    def __call__(self, n, **kwargs):
+        return self.schedule(n, **kwargs)
+
+
+class LambdaLinearScheduler(LambdaWarmUpCosineScheduler2):
+    """Warmup + linear decay (ref: mug/lr_scheduler.py:84-98).
+    The live diffusion config uses f_start 1e-6, f_max = f_min = 1 (i.e. a
+    pure warmup ramp followed by constant LR)."""
+
+    def schedule(self, n, **kwargs):
+        cycle = self.find_in_interval(n)
+        n = n - self.cum_cycles[cycle]
+        if n < self.lr_warm_up_steps[cycle]:
+            return (
+                (self.f_max[cycle] - self.f_start[cycle])
+                / self.lr_warm_up_steps[cycle] * n
+                + self.f_start[cycle]
+            )
+        return self.f_min[cycle] + (
+            self.f_max[cycle] - self.f_min[cycle]
+        ) * (self.cycle_lengths[cycle] - n) / self.cycle_lengths[cycle]

@@ -1,0 +1,326 @@
+"""Shape + numerics tests for the model blocks (ref behaviors:
+mug/model/*, mug/diffusion/unet.py, mug/firststage/*, mug/cond/*)."""
+
+import math
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+SCHEMA = os.path.join(
+    os.path.dirname(__file__), "..", "configs", "mug", "mania_beatmap_features.yaml"
+)
+
+KEY = jax.random.PRNGKey(0)
+
+
+# ---------------------------------------------------------------- blocks
+
+def test_timestep_embedding_golden():
+    from mug_diffusion_tpu.models.blocks import timestep_embedding
+
+    emb = timestep_embedding(jnp.array([0.0, 1.0, 999.0]), 128)
+    assert emb.shape == (3, 128)
+    # t=0: cos part all 1, sin part all 0 (cos first, ref util.py:171)
+    np.testing.assert_allclose(emb[0, :64], 1.0, atol=1e-6)
+    np.testing.assert_allclose(emb[0, 64:], 0.0, atol=1e-6)
+    # t=1, freq_0 = 1: cos(1), sin(1)
+    assert emb[1, 0] == pytest.approx(math.cos(1.0), abs=1e-5)
+    assert emb[1, 64] == pytest.approx(math.sin(1.0), abs=1e-5)
+
+
+def test_up_down_sample_shapes():
+    from mug_diffusion_tpu.models.blocks import Downsample, Upsample
+
+    x = jnp.ones((2, 64, 32))
+    up = Upsample(32)
+    p = up.init(KEY, x)
+    assert up.apply(p, x).shape == (2, 128, 32)
+
+    down = Downsample(32)
+    p = down.init(KEY, x)
+    assert down.apply(p, x).shape == (2, 32, 32)
+
+
+def test_resblock_identity_at_init():
+    """zero-init final conv => residual blocks are identity-preserving
+    additions of a zero branch only for TimestepResBlock."""
+    from mug_diffusion_tpu.models.blocks import TimestepResBlock
+
+    x = jax.random.normal(KEY, (2, 32, 16))
+    emb = jax.random.normal(jax.random.PRNGKey(1), (2, 64))
+    block = TimestepResBlock(channels=16, emb_channels=64)
+    p = block.init(KEY, x, emb)
+    y = block.apply(p, x, emb)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=1e-6)
+
+
+def test_attention_matches_reference_formula():
+    """Golden parity with the reference attention math
+    (ref: mug/model/attention.py:91-126): sim = (q.k^T + pos_bias)*scale,
+    attn = softmax(sim) * C_matrix, out = attn.v, computed here in NumPy
+    from the same projection weights."""
+    from mug_diffusion_tpu.models.attention import CrossAttention
+
+    heads, dim_head, D = 2, 4, 8
+    attn = CrossAttention(query_dim=D, heads=heads, dim_head=dim_head,
+                          position_max_embedding=3)
+    x = jax.random.normal(KEY, (1, 10, D))
+    p = attn.init(KEY, x)
+    flat = dict(p["params"])
+    flat["relative_position_embedding"] = (
+        jax.random.normal(jax.random.PRNGKey(2), (7, heads)) * 0.5
+    )
+    flat["C_embedding"] = (
+        1.0 + 0.1 * jax.random.normal(jax.random.PRNGKey(3), (7, heads))
+    )
+    p = {"params": flat}
+    y = np.asarray(attn.apply(p, x))
+
+    # NumPy reference
+    xq = np.asarray(x)[0]
+    Wq = np.asarray(flat["to_q"]["kernel"])
+    Wk = np.asarray(flat["to_k"]["kernel"])
+    Wv = np.asarray(flat["to_v"]["kernel"])
+    Wo = np.asarray(flat["to_out"]["kernel"])
+    bo = np.asarray(flat["to_out"]["bias"])
+    rel = np.asarray(flat["relative_position_embedding"])
+    cem = np.asarray(flat["C_embedding"])
+
+    q = (xq @ Wq).reshape(10, heads, dim_head)
+    k = (xq @ Wk).reshape(10, heads, dim_head)
+    v = (xq @ Wv).reshape(10, heads, dim_head)
+    idx = np.clip(np.arange(10)[None, :] - np.arange(10)[:, None], -3, 3) + 3
+    out = np.zeros((10, heads, dim_head))
+    scale = dim_head ** -0.5
+    for h in range(heads):
+        sim = (q[:, h] @ k[:, h].T + rel[idx, h]) * scale
+        a = np.exp(sim - sim.max(axis=-1, keepdims=True))
+        a /= a.sum(axis=-1, keepdims=True)
+        a = a * cem[idx, h]
+        out[:, h] = a @ v[:, h]
+    want = out.reshape(10, heads * dim_head) @ Wo + bo
+    np.testing.assert_allclose(y[0], want, atol=1e-5)
+
+
+def test_cross_attention_with_context():
+    from mug_diffusion_tpu.models.attention import CrossAttention
+
+    attn = CrossAttention(query_dim=32, context_dim=16, heads=4, dim_head=8)
+    x = jax.random.normal(KEY, (2, 24, 32))
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (2, 21, 16))
+    p = attn.init(KEY, x, ctx)
+    y = attn.apply(p, x, ctx)
+    assert y.shape == (2, 24, 32)
+
+
+# ---------------------------------------------------------------- S4
+
+def _dense_ssm_from_params(variables, H, N):
+    """Materialize the dense discrete (dA, dB, C, dt) from S4 params using
+    the bilinear transform over the full conjugate-expanded state."""
+    p = variables["params"]
+    log_dt = np.asarray(p["log_dt"])
+    w = -np.exp(np.asarray(p["inv_w_real"])) + 1j * np.asarray(p["w_imag"])
+    B = np.asarray(p["B_re"]) + 1j * np.asarray(p["B_im"])
+    P = np.asarray(p["P_re"]) + 1j * np.asarray(p["P_im"])
+    C = np.asarray(p["C"][..., 0]) + 1j * np.asarray(p["C"][..., 1])
+    dt = np.exp(log_dt)
+
+    def expand(v):
+        return np.concatenate([v, v.conj()], axis=-1)
+
+    dA = np.zeros((H, N, N), dtype=np.complex128)
+    dB = np.zeros((H, N), dtype=np.complex128)
+    for h in range(H):
+        wf = expand(w[h])
+        Pf = expand(P[h])
+        Bf = expand(B[h])
+        A = np.diag(wf) - np.outer(Pf, Pf.conj())
+        I = np.eye(N)
+        M = np.linalg.inv(I - dt[h] / 2 * A)
+        dA[h] = M @ (I + dt[h] / 2 * A)
+        dB[h] = M @ (dt[h] * Bf)
+    Cf = np.concatenate([C, C.conj()], axis=-1)  # [ch, H, N]
+    return dA, dB, Cf
+
+
+def test_s4_kernel_matches_dense_recurrence():
+    """The FFT-domain NPLR kernel must equal the aliased dense-recurrence
+    kernel sum_m C dA^(l+mL) dB (ref formulas: mug/model/s4.py:706-832)."""
+    from mug_diffusion_tpu.models.s4 import S4
+
+    H, N, L = 3, 8, 32
+    s4 = S4(d_model=H, d_state=N)
+    u = jnp.zeros((1, L, H))
+    variables = s4.init(KEY, u)
+
+    k = s4.apply(variables, L, method=S4.compute_kernel)  # [1, H, L]
+    k = np.asarray(k)[0]
+
+    dA, dB, Cf = _dense_ssm_from_params(variables, H, N)
+    # aliased kernel: k[l] = sum_m C dA^{l+mL} dB  (m up to convergence)
+    k_ref = np.zeros((H, L))
+    for h in range(H):
+        x = dB[h]
+        vals = []
+        for l in range(4 * L):
+            vals.append((Cf[0, h] @ x).real)
+            x = dA[h] @ x
+        vals = np.asarray(vals).reshape(4, L)
+        k_ref[h] = vals.sum(axis=0)
+    np.testing.assert_allclose(k, k_ref, atol=1e-3, rtol=1e-3)
+
+
+def test_s4_fft_conv_is_causal_convolution():
+    """y (pre-output-mix) must equal the causal convolution k * u. We test
+    through the public forward by checking causality: changing u at time t
+    must not affect outputs before t."""
+    from mug_diffusion_tpu.models.s4 import S4
+
+    H, L = 4, 64
+    s4 = S4(d_model=H)
+    u = jax.random.normal(KEY, (1, L, H))
+    variables = s4.init(KEY, u)
+    y1 = s4.apply(variables, u)
+    u2 = u.at[0, 40:, :].set(0.0)
+    y2 = s4.apply(variables, u2)
+    np.testing.assert_allclose(
+        np.asarray(y1[0, :40]), np.asarray(y2[0, :40]), atol=1e-5
+    )
+    assert not np.allclose(np.asarray(y1[0, 40:]), np.asarray(y2[0, 40:]))
+
+
+def test_s4_bidirectional_sees_future():
+    from mug_diffusion_tpu.models.s4 import S4
+
+    H, L = 4, 32
+    s4 = S4(d_model=H, bidirectional=True)
+    u = jax.random.normal(KEY, (1, L, H))
+    variables = s4.init(KEY, u)
+    y1 = s4.apply(variables, u)
+    u2 = u.at[0, -1, :].set(10.0)
+    y2 = s4.apply(variables, u2)
+    assert not np.allclose(np.asarray(y1[0, 0]), np.asarray(y2[0, 0]))
+
+
+def test_s4_layer_identity_at_init():
+    from mug_diffusion_tpu.models.s4 import S4Layer
+
+    x = jax.random.normal(KEY, (2, 32, 32))
+    layer = S4Layer(32)
+    p = layer.init(KEY, x)
+    y = layer.apply(p, x)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=1e-6)
+
+
+# ---------------------------------------------------------------- VAE
+
+def test_vae_shapes_and_kl():
+    from mug_diffusion_tpu.models.autoencoder import AutoencoderKL
+
+    vae = AutoencoderKL(
+        ddconfig=dict(
+            x_channels=16, middle_channels=16, z_channels=16,
+            num_groups=8, channel_mult=[1, 2, 4, 4], num_res_blocks=1,
+        ),
+        kl_weight=1e-6,
+    )
+    x = jax.random.normal(KEY, (2, 256, 16))
+    variables = vae.init(KEY, x, rng=jax.random.PRNGKey(1))
+    posterior = vae.apply(variables, x, method=AutoencoderKL.encode)
+    assert posterior.mean.shape == (2, 32, 16)  # 8x time downsample
+    z = posterior.mode()
+    dec = vae.apply(variables, z, method=AutoencoderKL.decode)
+    assert dec.shape == x.shape
+    kl = posterior.kl()
+    assert np.isfinite(np.asarray(kl))
+
+
+def test_mania_reconstruct_loss():
+    from mug_diffusion_tpu.models.losses import ManiaReconstructLoss
+
+    loss_fn = ManiaReconstructLoss(
+        weight_start_offset=0.5, weight_holding=0.5, weight_end_offset=0.2,
+        label_smoothing=0.001,
+    )
+    B, T, K = 2, 64, 4
+    rng = np.random.default_rng(0)
+    inputs = np.zeros((B, T, 4 * K), dtype=np.float32)
+    inputs[:, ::8, :K] = 1.0  # notes every 8 frames
+    recon = rng.standard_normal((B, T, 4 * K)).astype(np.float32)
+    valid = np.ones((B, T), dtype=np.float32)
+    loss, logs = loss_fn(jnp.asarray(inputs), jnp.asarray(recon), jnp.asarray(valid))
+    assert np.isfinite(np.asarray(loss))
+    for k in ("start_loss", "holding_loss", "acc_rice", "recall_ln"):
+        assert k in logs
+
+    # perfect logits -> near-zero classification losses, acc ~ 1
+    perfect = (inputs * 2 - 1) * 20.0
+    loss2, logs2 = loss_fn(
+        jnp.asarray(inputs), jnp.asarray(perfect), jnp.asarray(valid)
+    )
+    assert float(logs2["acc_rice"]) > 0.999
+    assert float(loss2) < float(loss)
+
+
+# ---------------------------------------------------------------- embedder
+
+def test_feature_embedder():
+    from mug_diffusion_tpu.models.feature import BeatmapFeatureEmbedder
+
+    emb = BeatmapFeatureEmbedder(path_to_yaml=SCHEMA, embed_dim=128)
+    ids = jnp.zeros((2, 21), dtype=jnp.int32)
+    p = emb.init(KEY, ids)
+    out = emb.apply(p, ids)
+    assert out.shape == (2, 21, 128)
+    vocab = p["params"]["embedding"]["embedding"].shape[0]
+    assert vocab == 329  # total bucket count of the live schema
+
+
+# ---------------------------------------------------------------- wave
+
+def test_wave_encoder_scales():
+    from mug_diffusion_tpu.models.wave import MelspectrogramScaleEncoder1D
+
+    enc = MelspectrogramScaleEncoder1D(
+        n_freq=16, middle_channels=8, channel_mult=[1, 1, 2, 2],
+        num_res_blocks=1, attention_resolutions=[4], num_heads=2,
+        num_groups=4, use_checkpoint=False,
+    )
+    x = jax.random.normal(KEY, (1, 64, 16))
+    p = enc.init(KEY, x)
+    hs = enc.apply(p, x)
+    assert len(hs) == 4
+    assert hs[0].shape == (1, 64, 8)
+    assert hs[1].shape == (1, 32, 8)
+    assert hs[2].shape == (1, 16, 16)
+    assert hs[3].shape == (1, 8, 16)
+
+
+# ---------------------------------------------------------------- unet
+
+def test_unet_forward_tiny():
+    from mug_diffusion_tpu.models.unet import UNetModel
+
+    unet = UNetModel(
+        in_channels=16, model_channels=16, out_channels=16,
+        num_res_blocks=1, attention_resolutions=[2, 4],
+        audio_channels=[8, 8, 8, 8], channel_mult=[1, 2, 2, 4],
+        num_heads=4, context_dim=12, s4_layer=True,
+    )
+    B, T = 1, 32
+    x = jax.random.normal(KEY, (B, T, 16))
+    t = jnp.array([10])
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (B, 21, 12))
+    audios = [
+        jax.random.normal(jax.random.PRNGKey(2 + k), (B, T // (2 ** k), 8))
+        for k in range(4)
+    ]
+    p = unet.init(KEY, x, t, ctx, audios)
+    y = unet.apply(p, x, t, ctx, audios)
+    assert y.shape == (B, T, 16)
+    # zero-init output conv -> exact zeros at init
+    np.testing.assert_allclose(np.asarray(y), 0.0, atol=1e-6)
