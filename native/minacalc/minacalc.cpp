@@ -23,10 +23,14 @@
 //     Chisel binary search, grindscaler, sigmoidal overall aggregation
 //     [MinaCalc.cpp]
 //
-// The long tail of situational pattern mods (OHJump, Roll, Trills, Chaos,
-// FlamJam, WideRange*, RunningMan, TheThing) currently evaluates to the
-// neutral 1.0 and is staged for later rounds; the pmod plumbing below keeps
-// their slots so they can be added without structural change.
+//   * dependent pattern mods OHJump/CJOHJump (sequence+prop components),
+//     Balance, OHTrill/VOHTrill (cv-gated trill runs), Chaos (polyrhythm
+//     fractional-ratio window), WideRangeBalance/Anchor/Roll/Jumptrill
+//     (timing-checked jumptrillables), FlamJam (flam group sequencing)
+//     [Dependent/HD_PatternMods/*.h, Agnostic/HA_PatternMods/FlamJam.h]
+//
+// RunningMan and TheThing1/2 evaluate to neutral 1.0 for now (the reference's
+// RollMod is itself a no-op); their slots are plumbed for later rounds.
 
 #include <algorithm>
 #include <array>
@@ -98,7 +102,19 @@ struct MovingWindow {
     v[kSize - 1] = x;
   }
   void fill(T x) { v.fill(x); }
+  void zero() { v.fill(static_cast<T>(0)); }
   T now() const { return v[kSize - 1]; }
+  T last() const { return v[kSize - 2]; }
+  T total_of(int w) const {
+    T o = static_cast<T>(0);
+    for (int i = kSize - w; i < kSize; ++i) o += v[i];
+    return o;
+  }
+  T max_of(int w) const {
+    T o = static_cast<T>(0);
+    for (int i = kSize - w; i < kSize; ++i) o = std::max(o, v[i]);
+    return o;
+  }
   float mean_of(int w) const {
     float o = 0.f;
     for (int i = kSize - w; i < kSize; ++i) o += static_cast<float>(v[i]);
@@ -113,7 +129,37 @@ struct MovingWindow {
     }
     return std::sqrt(sd / static_cast<float>(w)) / avg;
   }
+  // timing checks over the newest 3 values [CalcWindow.h:120-195]
+  bool ccacc_check(float factor, float threshold) {
+    v[4] /= factor;
+    float o = cv_of(3);
+    v[4] *= factor;
+    return o < threshold;
+  }
+  bool acca_check(float factor, float threshold) {
+    v[4] *= factor;
+    float o = cv_of(3);
+    v[4] /= factor;
+    return o < threshold;
+  }
+  bool roll_check(float factor, float threshold) {
+    return (v[4] > v[5]) ? ccacc_check(factor, threshold)
+                         : acca_check(factor, threshold);
+  }
 };
+
+static inline float CvOf3(float a, float b, float c) {
+  float avg = (a + b + c) / 3.f;
+  float sd = (a - avg) * (a - avg) + (b - avg) * (b - avg) +
+             (c - avg) * (c - avg);
+  return std::sqrt(sd / 3.f) / avg;
+}
+static inline float CvOf4(float a, float b, float c, float d) {
+  float avg = (a + b + c + d) / 4.f;
+  float sd = (a - avg) * (a - avg) + (b - avg) * (b - avg) +
+             (c - avg) * (c - avg) + (d - avg) * (d - avg);
+  return std::sqrt(sd / 4.f) / avg;
+}
 
 // --------------------------------------------------------- interval walk
 
@@ -235,6 +281,7 @@ struct MetaItvInfo {
 // row-pair sequencing [Agnostic/MetaRowInfo.h]
 struct MetaRowInfo {
   float time = kSInit;
+  float ms_now = kMsInit;
   int count = 0, last_count = 0;
   unsigned notes = 0, last_notes = 0, last_last_notes = 0;
 
@@ -256,6 +303,7 @@ struct MetaRowInfo {
     notes = row_notes;
     last_count = count;
     count = row_count;
+    ms_now = MsFrom(row_time, time);
     time = row_time;
     m.itvi.update(count);
 
@@ -408,9 +456,625 @@ static float CJDensityMod(const MetaItvInfo& m) {
   return Clamp(std::sqrt(a), 0.85f, 1.15f);
 }
 
+// ------------------------------------------------------ FlamJam (agnostic)
+
+// FJ_Sequencer + FlamJamMod [Agnostic/HA_Sequencers/FlamSequencing.h,
+// Agnostic/HA_PatternMods/FlamJam.h]
+struct FlamJam {
+  static constexpr float kGroupTol = 35.f;
+  static constexpr float kStepTol = 17.5f;
+  static constexpr float kScaler = 2.75f;
+
+  unsigned seen = 0;
+  int size = 1;
+  bool flammin = false;
+  std::array<float, 3> ms{{0, 0, 0}};
+
+  int flam_counter = 0;
+  std::array<float, 4> mod_parts{{1, 1, 1, 1}};
+  bool fifth_flammament = false;
+
+  float dur() const {
+    float d = 0;
+    for (int i = 0; i < size - 1; ++i) d += ms[i];
+    return d;
+  }
+  float mod_part() {
+    float dur_prop = dur() / kGroupTol;
+    dur_prop /= (static_cast<float>(size) / kScaler);
+    return std::sqrt(Clamp(dur_prop, 0.f, 1.f));
+  }
+  void grow(float ms_now, unsigned notes) {
+    if (size == 4) return;
+    seen |= notes;
+    ms[size - 1] = ms_now;
+    ++size;
+  }
+  void start(float ms_now, unsigned notes) {
+    flammin = true;
+    seen = 0;
+    grow(ms_now, notes);
+  }
+  void complete_seq() {
+    if (flam_counter < 4) {
+      mod_parts[flam_counter] = mod_part();
+      ++flam_counter;
+    } else {
+      fifth_flammament = true;
+    }
+    flammin = false;
+    size = 1;
+  }
+  void advance(float ms_now, unsigned notes) {
+    if (fifth_flammament) return;
+    if (!flammin) {
+      if (ms_now > kStepTol) return;
+      start(ms_now, notes);
+    } else {
+      bool tol_ok = !(ms_now > kGroupTol) && !(dur() + ms_now > kGroupTol);
+      if (tol_ok) {
+        if ((seen & notes) == 0) {
+          grow(ms_now, notes);
+        } else {
+          complete_seq();
+          start(ms_now, notes);
+        }
+      } else {
+        complete_seq();
+      }
+    }
+  }
+  float pmod() {
+    if (mod_parts[0] == 1.f) {
+      interval_end();
+      return 1.f;
+    }
+    float p = 1.f;
+    for (float mp : mod_parts) p += mp;
+    p /= 5.f;
+    p = Clamp(0.1f + p, 0.5f, 1.f);
+    interval_end();
+    return p;
+  }
+  void interval_end() {
+    fifth_flammament = false;
+    flam_counter = 0;
+    mod_parts.fill(1.f);
+  }
+};
+
 // -------------------------------------------------- hand-dependent sequencing
 
 enum ColType { kColLeft, kColRight, kColOHJump, kColEmpty, kColInit };
+
+// base/meta pattern types [Dependent/HD_BasicSequencing.h,
+// HD_MetaSequencing.h]
+enum BaseType {
+  kBaseLeftRight, kBaseRightLeft, kBaseJumpSingle, kBaseSingleSingle,
+  kBaseSingleJump, kBaseJumpJump, kNumBaseTypes, kBaseInit,
+};
+enum MetaType {
+  kMetaCCCCCC, kMetaCCACC, kMetaACCA, kMetaCCSJJSCC, kMetaCCSJJSCCInv,
+  kMetaEnigma, kMetaMetaEnigma, kMetaUnknowableEnigma, kNumMetaTypes,
+  kMetaInit,
+};
+
+static inline bool IsCCTap(BaseType bt) {
+  return bt == kBaseLeftRight || bt == kBaseRightLeft;
+}
+
+static BaseType DetermineBaseType(ColType now, ColType last) {
+  if (last == kColInit) return kBaseInit;
+  bool single = now == kColLeft || now == kColRight;
+  if (last == kColOHJump) return single ? kBaseJumpSingle : kBaseJumpJump;
+  if (!single) return kBaseSingleJump;
+  if (now == kColLeft && last == kColRight) return kBaseRightLeft;
+  if (now == kColRight && last == kColLeft) return kBaseLeftRight;
+  return kBaseSingleSingle;
+}
+
+static MetaType DetermineMetaType(BaseType now, BaseType last,
+                                  BaseType last_last, BaseType last_last_last,
+                                  MetaType last_mt) {
+  if (IsCCTap(now) && IsCCTap(last_last))
+    return now == last_last ? kMetaCCCCCC : kMetaCCACC;
+  if (now == kBaseSingleSingle && IsCCTap(last) &&
+      last_last == kBaseSingleSingle)
+    return kMetaACCA;
+  if (IsCCTap(now)) {
+    if (IsCCTap(last_last_last) && last == kBaseJumpSingle &&
+        last_last == kBaseSingleJump)
+      return now == last_last_last ? kMetaCCSJJSCC : kMetaCCSJJSCCInv;
+  }
+  if (last_mt == kMetaEnigma) return kMetaMetaEnigma;
+  if (last_mt == kMetaMetaEnigma) return kMetaUnknowableEnigma;
+  return kMetaEnigma;
+}
+
+// per-hand interval tap tracking [Dependent/IntervalHandInfo.h]
+struct ItvHandInfo {
+  std::array<int, 3> col_taps{{0, 0, 0}};
+  std::array<MovingWindow<int>, 3> mw_col_taps;
+  MovingWindow<int> mw_hand_taps;
+
+  void set_col_taps(ColType ct) {
+    if (ct == kColLeft || ct == kColRight) {
+      ++col_taps[ct];
+    } else {
+      ++col_taps[kColLeft];
+      ++col_taps[kColRight];
+      col_taps[kColOHJump] += 2;
+    }
+  }
+  void interval_end() {
+    mw_hand_taps.push(col_taps[kColLeft] + col_taps[kColRight]);
+    for (int c = 0; c < 3; ++c) mw_col_taps[c].push(col_taps[c]);
+    col_taps.fill(0);
+  }
+  void zero() {
+    col_taps.fill(0);
+    for (auto& m : mw_col_taps) m.zero();
+    mw_hand_taps.zero();
+  }
+  int taps_nowi() const { return mw_hand_taps.now(); }
+  float taps_nowf() const { return static_cast<float>(taps_nowi()); }
+  int taps_windowi(int w) const { return mw_hand_taps.total_of(w); }
+  float taps_windowf(int w) const {
+    return static_cast<float>(mw_hand_taps.total_of(w));
+  }
+  int col_taps_nowi(ColType ct) const { return mw_col_taps[ct].now(); }
+  float col_taps_nowf(ColType ct) const {
+    return static_cast<float>(col_taps_nowi(ct));
+  }
+  bool cols_equal_now() const {
+    return col_taps_nowi(kColLeft) == col_taps_nowi(kColRight);
+  }
+  bool cols_equal_window(int w) const {
+    return mw_col_taps[kColLeft].total_of(w) ==
+           mw_col_taps[kColRight].total_of(w);
+  }
+  float col_prop_low_by_high() const {
+    float a = col_taps_nowf(kColLeft), b = col_taps_nowf(kColRight);
+    return std::min(a, b) / std::max(a, b);
+  }
+  float col_prop_low_by_high_window(int w) const {
+    float a = static_cast<float>(mw_col_taps[kColLeft].total_of(w));
+    float b = static_cast<float>(mw_col_taps[kColRight].total_of(w));
+    return std::min(a, b) / std::max(a, b);
+  }
+};
+
+// OHJ_Sequencer [Dependent/HD_Sequencers/OHJSequencing.h]
+struct OHJSeq {
+  int cur_seq_taps = 0;
+  int max_seq_taps = 0;
+  void zero() { cur_seq_taps = max_seq_taps = 0; }
+  void complete_seq() {
+    max_seq_taps = std::max(cur_seq_taps, max_seq_taps);
+    cur_seq_taps = 0;
+  }
+  void advance(ColType ct, BaseType bt) {
+    if (cur_seq_taps == 0) {
+      if (ct != kColOHJump) return;
+      cur_seq_taps += 2;
+    }
+    switch (bt) {
+      case kBaseJumpJump: cur_seq_taps += 2; break;
+      case kBaseJumpSingle: break;  // wait and see
+      case kBaseLeftRight:
+      case kBaseRightLeft:
+        cur_seq_taps -= (cur_seq_taps == 2) ? 1 : 3;
+        complete_seq();
+        break;
+      case kBaseSingleSingle:
+      case kBaseSingleJump:
+        complete_seq();
+        break;
+      default: break;
+    }
+  }
+};
+
+// OHJumpModGuyThing / CJOHJumpMod [Dependent/HD_PatternMods/OHJ.h, CJOHJ.h]
+struct OHJumpMod {
+  float min_mod, max_mod, max_seq_pool, max_seq_scaler, prop_pool;
+  static constexpr float kMaxSeqWeight = 0.65f;
+  OHJSeq ohj;
+
+  OHJumpMod(bool cj)
+      : min_mod(cj ? 0.65f : 0.75f), max_mod(1.f), max_seq_pool(1.2f),
+        max_seq_scaler(cj ? 0.8f : 2.f), prop_pool(cj ? 1.4f : 1.5f) {}
+
+  void full_reset() { ohj.zero(); }
+  void advance(ColType ct, BaseType bt) { ohj.advance(ct, bt); }
+
+  float operator()(const ItvHandInfo& itvhi, int cc_taps) {
+    int max_seq = std::max(ohj.cur_seq_taps, ohj.max_seq_taps);
+    float pmod = 1.f;
+    auto max_seq_comp = [&](float base_seq_prop) {
+      return std::sqrt(std::max(0.1f, max_seq_pool -
+                                          base_seq_prop * max_seq_scaler));
+    };
+    auto prop_comp = [&](float base_jump_prop) {
+      return std::sqrt(std::max(0.1f, prop_pool - base_jump_prop));
+    };
+    if (itvhi.taps_nowi() == 0 || itvhi.col_taps_nowi(kColOHJump) == 0) {
+      pmod = 1.f;
+    } else if (max_seq >= itvhi.taps_nowi()) {
+      pmod = min_mod;
+    } else if (max_seq < 3) {
+      float jump_prop = itvhi.col_taps_nowf(kColOHJump) / itvhi.taps_nowf();
+      pmod = Clamp(prop_comp(jump_prop), min_mod, max_mod);
+    } else if (cc_taps == 0) {
+      float seq_prop = static_cast<float>(max_seq) / itvhi.taps_nowf();
+      pmod = Clamp(max_seq_comp(seq_prop), min_mod, max_mod);
+    } else {
+      float seq_prop = static_cast<float>(max_seq) / itvhi.taps_nowf();
+      float msc = Clamp(max_seq_comp(seq_prop), 0.1f, max_mod);
+      float jump_prop = itvhi.col_taps_nowf(kColOHJump) / itvhi.taps_nowf();
+      float pc = Clamp(prop_comp(jump_prop), 0.1f, max_mod);
+      pmod = (kMaxSeqWeight * msc + (1.f - kMaxSeqWeight) * pc);
+      pmod = Clamp(pmod, min_mod, max_mod);
+    }
+    // interval end
+    ohj.max_seq_taps = 0;
+    return pmod;
+  }
+};
+
+// BalanceMod [Dependent/HD_PatternMods/Balance.h]
+static float BalanceMod(const ItvHandInfo& itvhi) {
+  if (itvhi.taps_nowi() == 0) return 1.f;
+  if (itvhi.cols_equal_now()) return 0.95f;
+  if (itvhi.col_taps_nowi(kColLeft) == 0 ||
+      itvhi.col_taps_nowi(kColRight) == 0)
+    return 1.05f;
+  float p = itvhi.col_prop_low_by_high();
+  return Clamp(0.325f + (1.f + 1.f / p) / 4.f, 0.95f, 1.05f);
+}
+
+// WideRangeBalanceMod [Dependent/HD_PatternMods/WideRangeBalance.h]
+static float WideRangeBalanceMod(const ItvHandInfo& itvhi) {
+  const int window = 2;
+  if (itvhi.taps_nowi() == 0) return 1.f;
+  if (itvhi.cols_equal_window(window)) return 0.94f;
+  float p = itvhi.col_prop_low_by_high_window(window);
+  return Clamp(0.425f + (1.f + 1.f / p) / 4.f, 0.94f, 1.05f);
+}
+
+// OHTrillMod / VOHTrillMod [Dependent/HD_PatternMods/OHT.h, VOHT.h]
+struct TrillMod {
+  // voht=false: OHT params; voht=true: VOHT (vibro-trill) params
+  bool voht;
+  int window;
+  float min_mod, max_mod, base, suppression, cv_threshold, min_len;
+
+  bool luca_turilli = false;
+  MovingWindow<float> badjuju;
+  MovingWindow<int> mw_oht_taps;
+  std::array<int, 4> foundyatrills{{0, 0, 0, 0}};
+  int found_oht = 0, oht_len = 0, oht_taps = 0;
+  float moving_cv = 1.f;
+
+  TrillMod(bool v)
+      : voht(v), window(v ? 2 : 3), min_mod(v ? 0.25f : 0.9f), max_mod(1.f),
+        base(v ? 1.5f : 1.35f), suppression(v ? 0.2f : 0.4f),
+        cv_threshold(v ? 0.25f : 0.5f), min_len(v ? 8.f : 0.f) {}
+
+  void full_reset() {
+    badjuju.zero();
+    luca_turilli = false;
+    found_oht = oht_len = oht_taps = 0;
+    foundyatrills.fill(0);
+    moving_cv = 1.f;
+    mw_oht_taps.zero();
+  }
+
+  void complete_seq() {
+    if (!luca_turilli || oht_len == 0) return;
+    if (found_oht < 4) foundyatrills[found_oht] = oht_len;
+    luca_turilli = false;
+    oht_len = 0;
+    ++found_oht;
+    moving_cv = (moving_cv + 1.f) / 2.f;
+  }
+
+  void advance(MetaType mt, const MovingWindow<float>& ms_any) {
+    switch (mt) {
+      case kMetaCCCCCC: {
+        moving_cv = (moving_cv + ms_any.cv_of(window)) / 2.f;
+        if (moving_cv < cv_threshold) {
+          if (luca_turilli) {
+            ++oht_len;
+            ++oht_taps;
+          } else {
+            luca_turilli = true;
+            oht_len += 3;
+            oht_taps += 3;
+          }
+        } else {
+          complete_seq();
+        }
+      } break;
+      case kMetaCCACC:
+        break;  // wait and see
+      default:
+        complete_seq();
+        break;
+    }
+  }
+
+  float operator()(const ItvHandInfo& itvhi) {
+    if (oht_len > 0 && found_oht < 4) {
+      foundyatrills[found_oht] = oht_len;
+      ++found_oht;
+    }
+    mw_oht_taps.push(oht_taps);
+
+    float pmod;
+    if (itvhi.taps_windowi(window) == 0 ||
+        mw_oht_taps.total_of(window) == 0) {
+      pmod = 1.f;
+    } else if (voht && mw_oht_taps.total_of(window) < min_len) {
+      pmod = 1.f;
+    } else if (itvhi.taps_windowi(window) == mw_oht_taps.total_of(window)) {
+      pmod = min_mod;
+    } else {
+      float goat = 0.f;
+      if (found_oht != 0) {
+        for (int v : foundyatrills) {
+          if (v == 0) continue;
+          goat = (static_cast<float>(v) / itvhi.taps_nowf()) - suppression;
+        }
+        goat = Clamp(goat, 0.1f, 1.f);
+      }
+      badjuju.push(goat);
+      pmod = Clamp(base - badjuju.mean_of(window), min_mod, max_mod);
+    }
+    foundyatrills.fill(0);
+    found_oht = oht_len = oht_taps = 0;
+    return pmod;
+  }
+};
+
+// ChaosMod [Dependent/HD_PatternMods/Chaos.h]
+struct ChaosMod {
+  MovingWindow<float> u, wot;
+  void full_reset() {
+    u.zero();
+    wot.zero();
+  }
+  void advance(const MovingWindow<float>& ms_any) {
+    float a = ms_any.now(), b = ms_any.last();
+    if (a == 0.f || b == 0.f || a == b) {
+      u.push(1.f);
+      wot.push(u.mean_of(6));
+      return;
+    }
+    float prop = std::max(a, b) / std::min(a, b);
+    float flop = prop - static_cast<float>(static_cast<int>(prop));
+    if (flop == 0.f) flop = 1.f;
+    else if (flop >= 0.5f) flop = std::abs(flop - 1.f) + 1.f;
+    else flop += 1.f;
+    u.push(flop);
+    wot.push(u.mean_of(6));
+  }
+  float operator()(int total_taps) const {
+    if (total_taps == 0) return 1.f;
+    return Clamp(-0.075f + wot.mean_of(6), 0.95f, 1.045f);
+  }
+};
+
+// WideRangeJumptrillMod [Dependent/HD_PatternMods/WideRangeJumptrill.h]
+struct WRJTMod {
+  static constexpr float kCvFactor = 3.f;
+  static constexpr float kCvThreshold = 0.05f;
+  const int window = 3;
+  MovingWindow<int> mw_jt;
+  int jt_counter = 0;
+  bool for_real = false;
+  bool last_passed = false;
+
+  void full_reset() {
+    mw_jt.zero();
+    jt_counter = 0;
+    for_real = false;
+    last_passed = false;
+  }
+  void bibblybop(MetaType last_mt) {
+    ++jt_counter;
+    if (for_real) ++jt_counter;
+    if ((last_mt == kMetaACCA || last_mt == kMetaCCACC ||
+         last_mt == kMetaCCCCCC) && last_passed) {
+      ++jt_counter;
+      for_real = true;
+    }
+  }
+  void advance(BaseType bt, MetaType mt, MetaType last_mt,
+               MovingWindow<float>& ms_any) {
+    if (bt == kBaseJumpJump || bt == kBaseSingleJump) return;
+    switch (mt) {
+      case kMetaCCCCCC:
+        if ((last_passed = ms_any.roll_check(kCvFactor, kCvThreshold))) {
+          bibblybop(last_mt);
+          return;
+        }
+        break;
+      case kMetaCCACC:
+        if ((last_passed = ms_any.ccacc_check(kCvFactor, kCvThreshold))) {
+          bibblybop(last_mt);
+          return;
+        }
+        break;
+      case kMetaACCA:
+        if ((last_passed = ms_any.acca_check(kCvFactor, kCvThreshold))) {
+          bibblybop(last_mt);
+          return;
+        }
+        break;
+      default:
+        break;
+    }
+    for_real = false;
+  }
+  float operator()(const ItvHandInfo& itvhi) {
+    mw_jt.push(jt_counter);
+    jt_counter = 0;
+    if (itvhi.taps_windowi(window) == 0 || mw_jt.total_of(window) == 0)
+      return 1.f;
+    if (mw_jt.total_of(window) < 20) return 1.f;
+    float pmod = itvhi.taps_windowf(window) /
+                 static_cast<float>(mw_jt.total_of(window)) * 0.75f;
+    return Clamp(pmod, 0.25f, 1.f);
+  }
+};
+
+// WideRangeRollMod [Dependent/HD_PatternMods/WideRangeRoll.h]
+struct WRRMod {
+  const int window = 5;
+  MovingWindow<int> mw_max;
+  MovingWindow<float> mw_adj_ms;
+  bool last_passed = false;
+  int run_len = 0;
+  int max_thingy = 0;
+  float hi_float = 0.f;
+  std::array<float, 3> seq_ms{{0, 0, 0}};
+  std::array<float, 4> idk_ms{{0, 0, 0, 0}};
+  float moving_cv = 1.f;
+  float pmod = 0.25f;
+
+  void full_reset() {
+    mw_max.zero();
+    mw_adj_ms.zero();
+    last_passed = false;
+    run_len = max_thingy = 0;
+    seq_ms.fill(0.f);
+    idk_ms.fill(0.f);
+    moving_cv = 1.f;
+    pmod = 1.f;
+  }
+
+  bool do_timing_thing(float scaler) {
+    mw_adj_ms.push(seq_ms[1]);
+    if (mw_adj_ms.cv_of(window) > 0.3f) return false;
+    hi_float = CvOf3(seq_ms[0], seq_ms[1], seq_ms[2]);
+    if (hi_float < 0.12f) {
+      moving_cv = (hi_float + moving_cv + hi_float) / 3.f;
+      return true;
+    }
+    moving_cv = (hi_float + moving_cv) / 2.f;
+    return moving_cv < 0.35f / scaler;
+  }
+  bool do_other_timing_thing(float scaler) {
+    mw_adj_ms.push(idk_ms[1]);
+    mw_adj_ms.push(idk_ms[2]);
+    if (mw_adj_ms.cv_of(window) > 0.3f) return false;
+    hi_float = CvOf4(idk_ms[0], idk_ms[1], idk_ms[2], idk_ms[3]);
+    if (hi_float < 0.12f) {
+      moving_cv = (hi_float + moving_cv + hi_float) / 3.f;
+      return true;
+    }
+    moving_cv = (hi_float + moving_cv) / 2.f;
+    return moving_cv < 0.35f / scaler;
+  }
+
+  void complete_seq() {
+    if (run_len > 0) max_thingy = std::max(run_len, max_thingy);
+    run_len = 0;
+  }
+  void bibblybop(MetaType last_mt) {
+    if (last_mt == kMetaEnigma)
+      moving_cv = (moving_cv + hi_float) / 2.f;
+    else if (last_mt == kMetaMetaEnigma)
+      moving_cv = (moving_cv + hi_float + hi_float) / 3.f;
+    if (!last_passed) {
+      complete_seq();
+      return;
+    }
+    ++run_len;
+    if (last_mt == kMetaEnigma) ++run_len;
+    if (last_mt == kMetaMetaEnigma) run_len += 2;
+  }
+
+  void advance(BaseType bt, MetaType mt, MetaType last_mt, float any_ms,
+               float tc_ms) {
+    seq_ms[0] = seq_ms[1];
+    seq_ms[1] = seq_ms[2];
+    seq_ms[2] = (bt == kBaseSingleSingle) ? tc_ms : any_ms;
+    if (bt == kBaseSingleJump || bt == kBaseJumpSingle) return;
+    if (bt == kBaseJumpJump) {
+      if (run_len > 0) bibblybop(last_mt);
+      return;
+    }
+    switch (mt) {
+      case kMetaACCA:
+        complete_seq();
+        break;
+      case kMetaCCCCCC:
+        if (seq_ms[1] > seq_ms[0]) {
+          seq_ms[1] /= 2.5f;
+          last_passed = do_timing_thing(1.f);
+          seq_ms[1] *= 2.5f;
+        } else {
+          seq_ms[0] /= 2.5f;
+          seq_ms[2] /= 2.5f;
+          last_passed = do_timing_thing(1.f);
+          seq_ms[0] *= 2.5f;
+          seq_ms[2] *= 2.5f;
+        }
+        bibblybop(last_mt);
+        break;
+      case kMetaCCACC:
+        seq_ms[1] /= 2.5f;
+        last_passed = do_timing_thing(1.25f);
+        seq_ms[1] *= 2.5f;
+        bibblybop(last_mt);
+        break;
+      case kMetaCCSJJSCC:
+      case kMetaCCSJJSCCInv:
+        idk_ms[2] = seq_ms[0];
+        idk_ms[1] = seq_ms[1];
+        idk_ms[0] = seq_ms[2];
+        idk_ms[3] = any_ms;
+        idk_ms[1] /= 2.5f;
+        idk_ms[2] /= 2.5f;
+        last_passed = do_other_timing_thing(1.25f);
+        idk_ms[1] *= 2.5f;
+        idk_ms[2] *= 2.5f;
+        if (!last_passed) {
+          idk_ms[1] /= 3.f;
+          idk_ms[2] /= 3.f;
+          last_passed = do_other_timing_thing(1.25f);
+          idk_ms[1] *= 3.f;
+          idk_ms[2] *= 3.f;
+        }
+        bibblybop(last_mt);
+        break;
+      case kMetaInit:
+      case kMetaEnigma:
+        break;  // wait and see
+      default:
+        complete_seq();
+        break;
+    }
+  }
+
+  float operator()(const ItvHandInfo& itvhi) {
+    max_thingy = std::max(run_len, max_thingy);
+    mw_max.push(max_thingy);
+    max_thingy = 0;
+    if (itvhi.taps_nowi() == 0 || itvhi.taps_windowi(window) == 0 ||
+        mw_max.total_of(window) == 0) {
+      pmod = 1.f;
+      return pmod;
+    }
+    float zomg = itvhi.taps_windowf(window) /
+                 static_cast<float>(mw_max.total_of(window));
+    pmod *= zomg;
+    pmod = Clamp(0.15f + std::sqrt(pmod), 0.25f, 1.f);
+    return pmod;
+  }
+};
 
 static ColType DetermineColType(unsigned notes, unsigned hand_id) {
   unsigned shirt = notes & hand_id;
@@ -482,6 +1146,9 @@ struct Sequencer {
   MovingWindow<float> mw_any_ms;
   MovingWindow<float> mw_cc_ms;
   std::array<MovingWindow<float>, 2> mw_sc_ms;
+  // max anchor length per col per interval (for WideRangeAnchor)
+  std::array<int, 2> max_seen{{0, 0}};
+  std::array<MovingWindow<int>, 2> mw_max;
 
   void reset() {
     anch[0].reset();
@@ -490,17 +1157,30 @@ struct Sequencer {
     mw_cc_ms.fill(kMsInit);
     mw_sc_ms[0].fill(kMsInit);
     mw_sc_ms[1].fill(kMsInit);
+    max_seen.fill(0);
+    mw_max[0].zero();
+    mw_max[1].zero();
+  }
+
+  void interval_end() {
+    for (int c = 0; c < 2; ++c) {
+      mw_max[c].push(max_seen[c]);
+      max_seen[c] = 0;
+    }
   }
 
   void advance(ColType ct, float row_time, float any_ms) {
     if (ct == kColLeft || ct == kColRight) {
       anch[ct].advance(row_time);
+      max_seen[ct] = std::max(max_seen[ct], anch[ct].len);
       mw_sc_ms[ct].push(anch[ct].sc_ms);
       // cc from the other column's last
       mw_cc_ms.push(MsFrom(row_time, anch[ct == kColLeft ? 1 : 0].last));
     } else if (ct == kColOHJump) {
       anch[0].advance(row_time);
       anch[1].advance(row_time);
+      max_seen[0] = std::max(max_seen[0], anch[0].len);
+      max_seen[1] = std::max(max_seen[1], anch[1].len);
       mw_sc_ms[0].push(anch[0].sc_ms);
       mw_sc_ms[1].push(anch[1].sc_ms);
       mw_cc_ms.push(sc_ms_now(kColOHJump));
@@ -521,6 +1201,20 @@ struct Sequencer {
     return std::min(anch[0].get_ms(), anch[1].get_ms());
   }
 };
+
+// WideRangeAnchorMod [Dependent/HD_PatternMods/WideRangeAnchor.h]
+static float WideRangeAnchorMod(const ItvHandInfo& itvhi,
+                                const Sequencer& seq) {
+  const int window = 2;
+  int a = seq.mw_max[0].max_of(window);
+  int b = seq.mw_max[1].max_of(window);
+  int diff = std::abs(a - b);
+  if (a == 0 && b == 0) return 1.f;
+  if (a == 0 || b == 0) return 1.05f;
+  if (diff <= 4) return 1.f;
+  if (diff > 8) return 1.05f;
+  return 1.f + 0.1f * ((static_cast<float>(diff) - 4.f) / 4.f);
+}
 
 // techyo [SequencedBaseDiffCalc.h]
 struct TechBase {
@@ -578,6 +1272,7 @@ static void RunPatternMods(Calc& c) {
   MetaRowInfo mri;
   JSModState js;
   HSModState hs;
+  FlamJam fj;
   for (int h = 0; h < kNumHands; ++h)
     for (int p = 0; p < kNumPMods; ++p)
       c.doot[h][p].assign(c.numitv, 1.f);
@@ -586,17 +1281,19 @@ static void RunPatternMods(Calc& c) {
     for (int row = 0; row < c.itv_size[itv]; ++row) {
       const RowInfo& ri = c.rows[itv][row];
       mri.advance(mitvi, ri.time, ri.count, ri.notes);
+      fj.advance(mri.ms_now, ri.notes);
     }
     c.doot[kLeft][kPmStream][itv] = StreamMod(mitvi);
     c.doot[kLeft][kPmJS][itv] = js(mitvi);
     c.doot[kLeft][kPmHS][itv] = hs(mitvi);
     c.doot[kLeft][kPmCJ][itv] = CJMod(mitvi);
     c.doot[kLeft][kPmCJDensity][itv] = CJDensityMod(mitvi);
+    c.doot[kLeft][kPmFlamJam][itv] = fj.pmod();
     mitvi.interval_end();
   }
-  for (int p : {kPmStream, kPmJS, kPmHS, kPmCJ, kPmCJDensity})
+  for (int p : {kPmStream, kPmJS, kPmHS, kPmCJ, kPmCJDensity, kPmFlamJam})
     Smooth(c.doot[kLeft][p], 1.f, c.numitv);
-  for (int p : {kPmStream, kPmJS, kPmHS, kPmCJ, kPmCJDensity})
+  for (int p : {kPmStream, kPmJS, kPmHS, kPmCJ, kPmCJDensity, kPmFlamJam})
     c.doot[kRight][p] = c.doot[kLeft][p];
 
   // dependent loop [Ulbu.h run_dependent_pmod_loop]
@@ -621,6 +1318,27 @@ static void RunPatternMods(Calc& c) {
     tech.reset();
     c.jack_diff[h].clear();
 
+    // hand-dependent mod state [Ulbu.h full_hand_reset]
+    ItvHandInfo itvhi;
+    itvhi.zero();
+    std::array<int, kNumBaseTypes> base_type_counts{};
+    OHJumpMod ohj(false), cjohj(true);
+    TrillMod oht(false), voht(true);
+    ChaosMod chaos;
+    WRJTMod wrjt;
+    WRRMod wrr;
+    chaos.full_reset();
+    wrjt.full_reset();
+    wrr.full_reset();
+    oht.full_reset();
+    voht.full_reset();
+
+    // metaHandInfo chain [Dependent/MetaHandInfo.h]
+    ColType last_ct = kColInit;
+    BaseType bt = kBaseInit, last_bt = kBaseInit, last_last_bt = kBaseInit,
+             lll_bt = kBaseInit;
+    MetaType mt = kMetaInit, last_mt = kMetaInit;
+
     float last_row_time = kSInit;
     for (int itv = 0; itv < c.numitv; ++itv) {
       for (int row = 0; row < c.itv_size[itv]; ++row) {
@@ -629,16 +1347,63 @@ static void RunPatternMods(Calc& c) {
         if (ct == kColEmpty) continue;
         float any_ms = MsFrom(ri.time, last_row_time);
         seq.advance(ct, ri.time, any_ms);
+
+        // advance pattern chain
+        lll_bt = last_last_bt;
+        last_last_bt = last_bt;
+        last_bt = bt;
+        bt = DetermineBaseType(ct, last_ct);
+        last_mt = mt;
+        mt = DetermineMetaType(bt, last_bt, last_last_bt, lll_bt, last_mt);
+        last_ct = ct;
+
+        itvhi.set_col_taps(ct);
+
+        // mod sequencing [Ulbu.h handle_row_dependent_pattern_advancement]
+        ohj.advance(ct, bt);
+        cjohj.advance(ct, bt);
+        oht.advance(mt, seq.mw_any_ms);
+        voht.advance(mt, seq.mw_any_ms);
+        wrr.advance(bt, mt, last_mt, seq.mw_any_ms.now(), seq.sc_ms_now(ct));
+        wrjt.advance(bt, mt, last_mt, seq.mw_any_ms);
+        chaos.advance(seq.mw_any_ms);
+
         tech.advance(seq, ct);
         // jack difficulty per row [Ulbu.h update_sequenced_base_diffs]
         c.jack_diff[h].push_back(
             {ri.time,
              MsToScaledNps(seq.lowest_anchor_ms()) * kBaseScalers[kJackSpeed]});
+
+        if (bt != kBaseInit) ++base_type_counts[bt];
         last_row_time = ri.time;
       }
+      // interval end [Ulbu.h handle_dependent_interval_end]
+      itvhi.interval_end();
+      seq.interval_end();
+
+      int cc_taps =
+          base_type_counts[kBaseLeftRight] + base_type_counts[kBaseRightLeft];
+      c.doot[h][kPmOHJump][itv] = ohj(itvhi, cc_taps);
+      c.doot[h][kPmCJOHJump][itv] = cjohj(itvhi, cc_taps);
+      c.doot[h][kPmOHTrill][itv] = oht(itvhi);
+      c.doot[h][kPmVOHTrill][itv] = voht(itvhi);
+      c.doot[h][kPmBalance][itv] = BalanceMod(itvhi);
+      c.doot[h][kPmChaos][itv] = chaos(itvhi.taps_nowi());
+      c.doot[h][kPmWideRangeBalance][itv] = WideRangeBalanceMod(itvhi);
+      c.doot[h][kPmWideRangeRoll][itv] = wrr(itvhi);
+      c.doot[h][kPmWideRangeJumptrill][itv] = wrjt(itvhi);
+      c.doot[h][kPmWideRangeAnchor][itv] = WideRangeAnchorMod(itvhi, seq);
+      base_type_counts.fill(0);
+
       c.tech_base[h][itv] = tech.itv_diff(c.nps_base[h][itv]);
       tech.interval_end();
     }
+    // dependent smoothing pass [UlbuAcolytes.h run_dependent_smoothing_pass]
+    for (int p : {kPmOHJump, kPmBalance, kPmRoll, kPmOHTrill, kPmVOHTrill,
+                  kPmChaos, kPmWideRangeBalance, kPmWideRangeRoll,
+                  kPmWideRangeJumptrill, kPmWideRangeAnchor, kPmRanMan,
+                  kPmCJOHJump})
+      Smooth(c.doot[h][p], 1.f, c.numitv);
   }
 }
 

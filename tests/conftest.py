@@ -13,6 +13,10 @@ if "xla_backend_optimization_level" not in flags:
     flags += " --xla_backend_optimization_level=0"
 os.environ["XLA_FLAGS"] = flags.strip()
 
+# The environment's TPU plugin lowers the global default matmul precision to
+# bfloat16; numerics golden tests need full f32 matmuls.
+os.environ.setdefault("JAX_DEFAULT_MATMUL_PRECISION", "highest")
+
 # Persistent compilation cache: XLA compiles are slow on this host (~2-6s per
 # op); cache them across test runs.
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_test_cache")
