@@ -1,9 +1,15 @@
 """Test harness config: run all tests on a virtual 8-device CPU mesh so the
-multi-chip sharding paths are exercised without TPU hardware."""
+multi-chip sharding paths are exercised without TPU hardware.
+
+Note: this image's sitecustomize registers the remote-TPU ('axon') PJRT
+plugin at interpreter startup, so JAX is partially imported before conftest
+runs and JAX_PLATFORMS env overrides are too late. jax.config.update still
+works because backends initialize lazily on first use.
+"""
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"  # force: the shell env pins 'axon' (TPU)
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     flags += " --xla_force_host_platform_device_count=8"
@@ -22,3 +28,12 @@ os.environ.setdefault("JAX_DEFAULT_MATMUL_PRECISION", "highest")
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_test_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_default_matmul_precision", "highest")
+
+assert jax.default_backend() == "cpu", (
+    "tests must run on the virtual CPU mesh, got " + jax.default_backend()
+)

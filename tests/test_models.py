@@ -118,9 +118,11 @@ def test_cross_attention_with_context():
 
 # ---------------------------------------------------------------- S4
 
-def _dense_ssm_from_params(variables, H, N):
-    """Materialize the dense discrete (dA, dB, C, dt) from S4 params using
-    the bilinear transform over the full conjugate-expanded state."""
+def _dense_half_ssm_from_params(variables, H, n2):
+    """Materialize the dense discrete (dA, dB, C, dt) of the *half*
+    (conjugate-pair) state system — the reference's shipped cauchy_naive
+    fallback (ref: mug/model/s4.py:140-147) evaluates the resolvent over
+    half states only, so the dense ground truth must too."""
     p = variables["params"]
     log_dt = np.asarray(p["log_dt"])
     w = -np.exp(np.asarray(p["inv_w_real"])) + 1j * np.asarray(p["w_imag"])
@@ -129,27 +131,23 @@ def _dense_ssm_from_params(variables, H, N):
     C = np.asarray(p["C"][..., 0]) + 1j * np.asarray(p["C"][..., 1])
     dt = np.exp(log_dt)
 
-    def expand(v):
-        return np.concatenate([v, v.conj()], axis=-1)
-
-    dA = np.zeros((H, N, N), dtype=np.complex128)
-    dB = np.zeros((H, N), dtype=np.complex128)
+    dA = np.zeros((H, n2, n2), dtype=np.complex128)
+    dB = np.zeros((H, n2), dtype=np.complex128)
     for h in range(H):
-        wf = expand(w[h])
-        Pf = expand(P[h])
-        Bf = expand(B[h])
-        A = np.diag(wf) - np.outer(Pf, Pf.conj())
-        I = np.eye(N)
+        A = np.diag(w[h]) - np.outer(P[h], P[h].conj())
+        I = np.eye(n2)
         M = np.linalg.inv(I - dt[h] / 2 * A)
         dA[h] = M @ (I + dt[h] / 2 * A)
-        dB[h] = M @ (dt[h] * Bf)
-    Cf = np.concatenate([C, C.conj()], axis=-1)  # [ch, H, N]
-    return dA, dB, Cf
+        dB[h] = M @ (dt[h] * B[h])
+    return dA, dB, C
 
 
-def test_s4_kernel_matches_dense_recurrence():
-    """The FFT-domain NPLR kernel must equal the aliased dense-recurrence
-    kernel sum_m C dA^(l+mL) dB (ref formulas: mug/model/s4.py:706-832)."""
+def test_s4_kernel_matches_dense_resolvent():
+    """The Cauchy+Woodbury+bilinear kernel pipeline must equal a dense
+    linear-algebra evaluation of the same generating function
+    K(w_k) = C (I - w_k dA)^{-1} dB at the rfft nodes, where (dA, dB) is
+    the bilinear discretization of A = diag(w) - P P^* (ref formulas:
+    mug/model/s4.py:706-832)."""
     from mug_diffusion_tpu.models.s4 import S4
 
     H, N, L = 3, 8, 32
@@ -160,18 +158,16 @@ def test_s4_kernel_matches_dense_recurrence():
     k = s4.apply(variables, L, method=S4.compute_kernel)  # [1, H, L]
     k = np.asarray(k)[0]
 
-    dA, dB, Cf = _dense_ssm_from_params(variables, H, N)
-    # aliased kernel: k[l] = sum_m C dA^{l+mL} dB  (m up to convergence)
+    dA, dB, C = _dense_half_ssm_from_params(variables, H, N // 2)
+    omega = np.exp(-2j * np.pi * np.arange(L // 2 + 1) / L)
     k_ref = np.zeros((H, L))
     for h in range(H):
-        x = dB[h]
-        vals = []
-        for l in range(4 * L):
-            vals.append((Cf[0, h] @ x).real)
-            x = dA[h] @ x
-        vals = np.asarray(vals).reshape(4, L)
-        k_ref[h] = vals.sum(axis=0)
-    np.testing.assert_allclose(k, k_ref, atol=1e-3, rtol=1e-3)
+        I = np.eye(N // 2)
+        gf = np.array([
+            C[0, h] @ np.linalg.solve(I - o * dA[h], dB[h]) for o in omega
+        ])
+        k_ref[h] = np.fft.irfft(gf, n=L)
+    np.testing.assert_allclose(k, k_ref, atol=1e-4, rtol=1e-3)
 
 
 def test_s4_fft_conv_is_causal_convolution():
@@ -257,8 +253,11 @@ def test_mania_reconstruct_loss():
     for k in ("start_loss", "holding_loss", "acc_rice", "recall_ln"):
         assert k in logs
 
-    # perfect logits -> near-zero classification losses, acc ~ 1
+    # perfect reconstruction: saturated logits on the binary planes
+    # (is_start / is_holding), exact targets on the offset planes
     perfect = (inputs * 2 - 1) * 20.0
+    perfect[:, :, K : 2 * K] = inputs[:, :, K : 2 * K]
+    perfect[:, :, 3 * K :] = inputs[:, :, 3 * K :]
     loss2, logs2 = loss_fn(
         jnp.asarray(inputs), jnp.asarray(perfect), jnp.asarray(valid)
     )
