@@ -1,0 +1,121 @@
+"""Benchmark: end-to-end chart generation on TPU.
+
+Headline metric mirrors the reference's published number (ref:
+/root/reference/README.md:63): generate 4 charts for a 3-minute audio at the
+webui defaults (100 DDIM steps, CFG 5.0, batch 4) — ~30 s on the reference's
+RTX 3050 Ti. Here the whole neural pipeline runs on-device: mel spectrogram,
+wave encoder (once), 100-step CFG DDIM scan, VAE decode.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is the speedup factor over the 30 s reference time.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BASELINE_SECONDS = 30.0  # ref README.md:63
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from __graft_entry__ import _model_config
+    from mug_diffusion_tpu.diffusion.ddim import DDIMSampler
+    from mug_diffusion_tpu.diffusion.ddpm import MugDiffusionWrapper
+    from mug_diffusion_tpu.ops.mel import melspectrogram
+    from mug_diffusion_tpu.utils.config import instantiate_from_config
+
+    count = 4
+    steps = 100
+    scale = 5.0
+    seconds_of_audio = 180
+    sr = 22050
+
+    ddpm = instantiate_from_config(_model_config(tiny=False))
+    sampler = DDIMSampler(ddpm)
+
+    # 3-minute synthetic track (tone mixture + beat clicks)
+    t = np.arange(seconds_of_audio * sr) / sr
+    wave = (
+        0.4 * np.sin(2 * np.pi * 220 * t)
+        + 0.3 * np.sin(2 * np.pi * 440 * t * (1 + 0.001 * np.sin(t)))
+        + 0.2 * (np.sin(2 * np.pi * 2 * t) > 0.99)
+    ).astype(np.float32)
+
+    # length bucket: 180 s -> 31008 mel frames -> z_length 512 (full size)
+    z_length = 512
+    mel_frames = z_length * 64
+
+    rng = jax.random.PRNGKey(0)
+    params = ddpm.init_params(
+        rng, {"batch": 1, "z_length": 64, "num_features": 21}
+    )
+
+    feature = jnp.zeros((count, 21), jnp.int32)
+    uc_feature = jnp.zeros((count, 21), jnp.int32)
+
+    def generate(wave_np, seed):
+        mel = melspectrogram(wave_np, max_frames=mel_frames)  # [128, T]
+        audio = jnp.asarray(
+            np.repeat(mel.T[None].astype(np.float32), count, axis=0)
+        )
+        c, w = ddpm.encode_conditioning(params, audio, feature)
+        uc = ddpm.model.apply(
+            params, uc_feature, method=MugDiffusionWrapper.cond_output
+        )
+        samples, _ = sampler.sample(
+            S=steps, c=c, w=w, batch_size=count, params=params,
+            shape=(16, z_length), rng=jax.random.PRNGKey(seed),
+            unconditional_guidance_scale=scale, unconditional_conditioning=uc,
+        )
+        decoded = ddpm.decode(params, samples)
+        return np.asarray(decoded)
+
+    # warmup (compile)
+    t0 = time.time()
+    out = generate(wave, 0)
+    warm = time.time() - t0
+
+    # timed runs
+    times = []
+    for i in range(3):
+        t0 = time.time()
+        out = generate(wave, i + 1)
+        times.append(time.time() - t0)
+    best = min(times)
+
+    assert out.shape == (count, z_length * 8, 16)
+    assert np.isfinite(out).all()
+
+    result = {
+        "metric": "e2e_generation_4charts_3min_100steps_cfg",
+        "value": round(best, 3),
+        "unit": "seconds",
+        "vs_baseline": round(BASELINE_SECONDS / best, 2),
+    }
+    print(json.dumps(result))
+    print(
+        json.dumps(
+            {
+                "detail": {
+                    "warmup_incl_compile_s": round(warm, 1),
+                    "runs_s": [round(x, 3) for x in times],
+                    "unet_steps_per_sec": round(steps / best, 2),
+                    "charts_per_min_per_chip": round(count / best * 60, 1),
+                    "backend": jax.default_backend(),
+                    "device": str(jax.devices()[0]),
+                }
+            }
+        ),
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

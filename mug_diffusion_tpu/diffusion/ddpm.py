@@ -174,16 +174,22 @@ class DDPM:
         n_mels = spec.get("n_mels", 128)
         ratio = spec.get("audio_note_window_ratio", 8)
         note_len = z_len * 8  # VAE is 8x in time
-        mel_len = note_len * ratio
+        mel_len = spec.get("mel_length", note_len * ratio)
         n_feats = spec.get("num_features", 21)
 
         note = jnp.zeros((B, note_len, self.model.unet_config["params"]["in_channels"]))
         audio = jnp.zeros((B, mel_len, n_mels))
         feature = jnp.zeros((B, n_feats), jnp.int32)
-        variables = self.model.init(
-            rng, note, audio, feature, method=MugDiffusionWrapper.full_init
-        )
-        return variables
+
+        # jit the whole init: flax init otherwise dispatches op-by-op, which
+        # is prohibitively slow over a remote-TPU tunnel
+        @jax.jit
+        def _init(rng, note, audio, feature):
+            return self.model.init(
+                rng, note, audio, feature, method=MugDiffusionWrapper.full_init
+            )
+
+        return _init(rng, note, audio, feature)
 
     # ------------------------------------------------------------ q / p
 

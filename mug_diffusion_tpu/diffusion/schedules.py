@@ -144,9 +144,12 @@ class DiffusionSchedule:
         ).astype(np.float32)
 
         if self.parameterization == "eps":
-            lvlb = betas ** 2 / (
-                2 * posterior_variance * alphas * (1 - alphas_cumprod)
-            )
+            # element 0 divides by zero posterior variance; it is overwritten
+            # with element 1 below (ref: diffusion.py:187)
+            with np.errstate(divide="ignore"):
+                lvlb = betas ** 2 / (
+                    2 * posterior_variance * alphas * (1 - alphas_cumprod)
+                )
         elif self.parameterization in ("x0", "recon"):
             lvlb = 0.5 * np.sqrt(alphas_cumprod) / (2.0 * 1 - alphas_cumprod)
         else:

@@ -70,8 +70,11 @@ def resolve_target(target: str) -> str:
 
 def instantiate_from_config(config: dict, **extra_kwargs):
     """Instantiate an object from a {'target': ..., 'params': {...}} dict
-    (ref: mug/util.py:93-100)."""
-    if not isinstance(config, dict) or "target" not in config:
+    (ref: mug/util.py:93-100). Accepts any Mapping (flax freezes dict
+    attributes into FrozenDicts)."""
+    from collections.abc import Mapping
+
+    if not isinstance(config, Mapping) or "target" not in config:
         if config in ("__is_first_stage__", "__is_unconditional__"):
             return None
         raise KeyError(f"Expected key `target` to instantiate, got: {config!r}")
