@@ -68,7 +68,10 @@ def make_ddim_timesteps(
         raise NotImplementedError(
             f'There is no ddim discretization method called "{ddim_discr_method}"'
         )
-    return ddim_timesteps + 1
+    # +1 shift as in the reference; additionally clip to the last valid index
+    # (the reference IndexErrors when 1000 % S leaves the last stride at 999,
+    # e.g. S=3)
+    return np.minimum(ddim_timesteps + 1, num_ddpm_timesteps - 1)
 
 
 def make_ddim_sampling_parameters(
