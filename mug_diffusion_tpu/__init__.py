@@ -19,3 +19,23 @@ Layer map (mirrors reference SURVEY.md section 1):
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+
+def _enable_compilation_cache():
+    """Persist XLA executables across processes — whole-sampler compiles
+    take minutes; reruns should not pay twice."""
+    cache_dir = _os.environ.get(
+        "MUG_JAX_CACHE_DIR", _os.path.expanduser("~/.cache/mug_jax_cache")
+    )
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover - jax unavailable or too old
+        pass
+
+
+_enable_compilation_cache()

@@ -132,19 +132,24 @@ class GenerationPipeline:
         mel = self.load_mel(audio_path)
         mel, z_length = self.fit_length(mel)
 
-        audio = jnp.asarray(
-            np.repeat(mel.T[None], count, axis=0)
-        )  # [count, Tmel, n_mels]
+        # the audio is shared across samples: encode the wave pyramid once at
+        # batch 1 and broadcast only the deep scales the U-Net consumes
+        audio1 = jnp.asarray(mel.T[None])  # [1, Tmel, n_mels]
         feature = self.encode_prompt(feature_dict, count)
         uc_feature = self.encode_prompt({}, count)
 
-        c, w = self.model.encode_conditioning(self.params, audio, feature)
+        _, w1 = self.model.encode_conditioning(
+            self.params, audio1, feature[:1]
+        )
+        n_levels = len(self.model.model.unet_config["params"]["channel_mult"])
+        w = [
+            jnp.broadcast_to(wi, (count,) + wi.shape[1:])
+            for wi in list(w1)[-n_levels:]
+        ]
+        c = self.model.cond_output(self.params, feature)
         uc = None
         if scale != 1.0:
-            uc = self.model.model.apply(
-                self.params, uc_feature,
-                method=type(self.model.model).cond_output,
-            )
+            uc = self.model.cond_output(self.params, uc_feature)
 
         rng = jax.random.PRNGKey(seed)
         samples, _ = self.sampler.sample(

@@ -295,27 +295,59 @@ class DDPM:
 
     # ----------------------------------------------------------- sampling
 
-    def encode_conditioning(self, params, audio, feature, features_uncond=None):
-        """Run wave + prompt encoders once per generation (ref webui.py:369)."""
-        w = self.model.apply(
-            params, audio, method=MugDiffusionWrapper.wave_output
+    @functools.cached_property
+    def _wave_jit(self):
+        return jax.jit(
+            lambda params, audio: self.model.apply(
+                params, audio, method=MugDiffusionWrapper.wave_output
+            )
         )
-        c = self.model.apply(
-            params, feature, method=MugDiffusionWrapper.cond_output
+
+    @functools.cached_property
+    def _cond_jit(self):
+        return jax.jit(
+            lambda params, feature: self.model.apply(
+                params, feature, method=MugDiffusionWrapper.cond_output
+            )
         )
+
+    @functools.cached_property
+    def _decode_jit(self):
+        return jax.jit(
+            lambda params, z: self.model.apply(
+                params, z, method=MugDiffusionWrapper.decode
+            )
+        )
+
+    @functools.cached_property
+    def _encode_mode_jit(self):
+        def f(params, note):
+            posterior = self.model.apply(
+                params, note, method=MugDiffusionWrapper.encode
+            )
+            return posterior.mode()
+
+        return jax.jit(f)
+
+    def encode_conditioning(self, params, audio, feature):
+        """Run wave + prompt encoders once per generation (ref webui.py:369).
+        Jitted: eager flax apply dispatches op-by-op, which is slow over a
+        remote-TPU tunnel."""
+        w = self._wave_jit(params, audio)
+        c = self._cond_jit(params, feature)
         return c, w
+
+    def cond_output(self, params, feature):
+        return self._cond_jit(params, feature)
 
     def apply_model(self, params, x, t, c, w):
         return self.model.apply(params, x, t, c, w)
 
     def decode(self, params, z):
-        return self.model.apply(params, z, method=MugDiffusionWrapper.decode)
+        return self._decode_jit(params, z)
 
     def encode_first_stage_mode(self, params, note):
-        posterior = self.model.apply(
-            params, note, method=MugDiffusionWrapper.encode
-        )
-        return posterior.mode()
+        return self._encode_mode_jit(params, note)
 
     def ancestral_sample(
         self,

@@ -127,6 +127,39 @@ def _mel_kernel(y, mel_fb_t, window, n_fft: int, hop_length: int, num_frames: in
     return jnp.log1p(mel).T  # [n_mels, frames]
 
 
+def melspectrogram_on_device(
+    y,
+    sr: int = 22050,
+    n_mels: int = 128,
+    hop_length: int = 128,
+    n_fft: int = 512,
+    max_frames: Optional[int] = None,
+):
+    """Waveform -> log1p mel [n_mels, T] as a DEVICE array (float32).
+
+    Same numerics as :func:`melspectrogram` but with no host round-trip —
+    use this on the serving path where the mel feeds the wave encoder
+    directly.
+    """
+    assert n_fft % hop_length == 0
+    y = jnp.asarray(y, dtype=jnp.float32)
+    num_frames = 1 + y.shape[0] // hop_length
+    if max_frames is not None:
+        num_frames = min(num_frames, max_frames)
+    needed = num_frames * hop_length
+    if y.shape[0] < needed:
+        y = jnp.pad(y, (0, needed - y.shape[0]))
+    else:
+        y = y[:needed]
+
+    fb_t = jnp.asarray(mel_filterbank(sr, n_fft, n_mels).T)
+    win = jnp.asarray(hann_window(n_fft))
+    out = _mel_kernel(y, fb_t, win, n_fft, hop_length, num_frames)
+    if max_frames is not None and out.shape[1] < max_frames:
+        out = jnp.pad(out, ((0, 0), (0, max_frames - out.shape[1])))
+    return out
+
+
 def melspectrogram(
     y: np.ndarray,
     sr: int = 22050,
