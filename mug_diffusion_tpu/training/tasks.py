@@ -156,13 +156,22 @@ class AutoencoderTask:
             params["params"], training_keys=self.training_keys
         )
         mask = {"params": mask}
+        # inject_hyperparams exposes the LR in opt_state so the Trainer can
+        # apply ReduceLROnPlateau semantics (ref: autoencoder.py:145)
         return optax.chain(
-            optax.adam(learning_rate=learning_rate),
+            optax.inject_hyperparams(optax.adam)(
+                learning_rate=learning_rate
+            ),
             optax.masked(
                 optax.set_to_zero(),
                 jax.tree_util.tree_map(lambda t: not t, mask),
             ),
         )
+
+    # ReduceLROnPlateau configuration (torch defaults: factor 0.1,
+    # patience 10, mode 'min')
+    plateau_factor = 0.1
+    plateau_patience = 10
 
 
 def build_task(model_config: dict):

@@ -80,6 +80,10 @@ class Trainer:
         save_top_k: int = 3,
         callbacks: Optional[list] = None,
         log_every_n_steps: int = 50,
+        use_wandb: bool = False,
+        wandb_project: str = "mug-diffusion-tpu",
+        profile_dir: Optional[str] = None,
+        profile_steps: tuple = (10, 15),
     ):
         self.task = task
         self.logdir = logdir
@@ -110,10 +114,31 @@ class Trainer:
         self.logger = CSVLogger(logdir)
         os.makedirs(os.path.join(logdir, "checkpoints"), exist_ok=True)
 
+        # optional W&B mirror of the CSV logs (ref: main.py:557-581)
+        self.wandb_run = None
+        if use_wandb:
+            try:
+                import wandb
+
+                self.wandb_run = wandb.init(
+                    project=wandb_project, dir=logdir,
+                    name=os.path.basename(logdir),
+                )
+            except ImportError:
+                print("wandb not installed; falling back to CSV only")
+
+        # optional XLA profiler trace window (ref: Lightning profiler summary
+        # at main.py:759; here a proper timeline trace)
+        self.profile_dir = profile_dir
+        self.profile_steps = profile_steps
+
         self.global_step = 0
         self.params = None
         self.opt_state = None
         self._top_k: List[tuple] = []  # (monitor_value, path)
+        # ReduceLROnPlateau state (VAE task, ref autoencoder.py:145)
+        self._plateau_best = None
+        self._plateau_bad_epochs = 0
 
     # -------------------------------------------------------------- setup
 
@@ -210,11 +235,28 @@ class Trainer:
                         self.global_step,
                     )
                     self.global_step += 1
+                    if self.profile_dir and self.global_step == self.profile_steps[0]:
+                        jax.profiler.start_trace(self.profile_dir)
+                    if self.profile_dir and self.global_step == self.profile_steps[1]:
+                        jax.profiler.stop_trace()
                     if self.global_step % self.log_every_n_steps == 0:
                         logs = jax.device_get(logs)
                         logs["epoch"] = epoch
                         logs["lr"] = float(self.learning_rate)
+                        from mug_diffusion_tpu.training.callbacks import (
+                            DeviceStatsCallback,
+                        )
+
+                        mem = DeviceStatsCallback.peak_memory_mb()
+                        if mem is not None:
+                            logs["peak_memory_mb"] = mem
                         self.logger.log(logs, self.global_step)
+                        if self.wandb_run is not None:
+                            self.wandb_run.log(
+                                {k: v for k, v in logs.items()
+                                 if isinstance(v, (int, float))},
+                                step=self.global_step,
+                            )
                         print(
                             f"step {self.global_step} "
                             f"loss {float(loss):.4f}"
@@ -266,8 +308,41 @@ class Trainer:
         means = {k: float(np.mean(v)) for k, v in all_metrics.items()}
         means["epoch"] = epoch
         self.logger.log(means, self.global_step)
+        if self.wandb_run is not None:
+            self.wandb_run.log(means, step=self.global_step)
         monitor = getattr(self.task, "monitor", "val/loss")
-        return means.get(monitor, means.get("val/loss"))
+        monitor_val = means.get(monitor, means.get("val/loss"))
+        self._maybe_reduce_lr_on_plateau(monitor_val)
+        return monitor_val
+
+    def _maybe_reduce_lr_on_plateau(self, monitor_val):
+        """ReduceLROnPlateau for tasks exposing plateau_factor/patience
+        (ref: autoencoder.py:145). Requires inject_hyperparams optimizers."""
+        factor = getattr(self.task, "plateau_factor", None)
+        patience = getattr(self.task, "plateau_patience", None)
+        if factor is None or patience is None or monitor_val is None:
+            return
+        if self._plateau_best is None or monitor_val < self._plateau_best:
+            self._plateau_best = monitor_val
+            self._plateau_bad_epochs = 0
+            return
+        self._plateau_bad_epochs += 1
+        if self._plateau_bad_epochs <= patience:
+            return
+        self._plateau_bad_epochs = 0
+        # find and scale the injected learning_rate hyperparam in opt_state
+        def scale(state):
+            if hasattr(state, "hyperparams") and "learning_rate" in state.hyperparams:
+                state.hyperparams["learning_rate"] = (
+                    state.hyperparams["learning_rate"] * factor
+                )
+                return True
+            if isinstance(state, tuple):
+                return any(scale(s) for s in state)
+            return False
+
+        if scale(self.opt_state):
+            print(f"ReduceLROnPlateau: lr scaled by {factor}")
 
     # --------------------------------------------------------- checkpoints
 

@@ -211,3 +211,67 @@ def test_trainer_fit_smoke(data_root, tmp_path):
         os.path.join(str(tmp_path / "logs"), "checkpoints", "last")
     )
     assert "params" in restored and restored["step"] == 2
+
+
+def test_vae_trainer_fit_smoke(data_root, tmp_path):
+    """Two VAE (first-stage) training steps: AutoencoderTask + Adam with
+    injected LR (ReduceLROnPlateau-capable)."""
+    from mug_diffusion_tpu.training.datamodule import DataModuleFromConfig
+    from mug_diffusion_tpu.training.tasks import build_task
+    from mug_diffusion_tpu.training.trainer import Trainer
+    from mug_diffusion_tpu.parallel.mesh import create_mesh
+
+    root, txt = data_root
+    cfg = dict(
+        target="mug_diffusion_tpu.models.autoencoder.AutoencoderKL",
+        base_learning_rate=3e-6,
+        params=dict(
+            monitor="val/loss",
+            kl_weight=1e-5,
+            lossconfig=dict(
+                target="mug_diffusion_tpu.models.losses.ManiaReconstructLoss",
+                params=dict(weight_start_offset=0.5, weight_holding=0.5,
+                            weight_end_offset=0.2, label_smoothing=0.001),
+            ),
+            ddconfig=dict(
+                x_channels=16, middle_channels=8, z_channels=16,
+                num_groups=4, channel_mult=[1, 2, 4, 4], num_res_blocks=1,
+            ),
+        ),
+    )
+    task = build_task(cfg)
+    dm = DataModuleFromConfig(
+        batch_size=2,
+        common_params=_dataset_kwargs(txt, str(tmp_path / "cache4"),
+                                      with_audio=False, with_feature=False),
+        train=dict(target="mug_diffusion_tpu.data.dataset.OsuTrainDataset",
+                   params={}),
+        validation=dict(target="mug_diffusion_tpu.data.dataset.OsuValidDataset",
+                        params={}),
+    ).setup()
+    trainer = Trainer(
+        task=task, logdir=str(tmp_path / "vae_logs"),
+        base_learning_rate=cfg["base_learning_rate"], batch_size=2,
+        mesh=create_mesh(n_devices=2), max_steps=2, log_every_n_steps=1,
+        ckpt_every_n_steps=None,
+    )
+    trainer.setup(batch_spec={"batch": 2, "note_length": 64})
+    trainer.fit(dm)
+    assert trainer.global_step == 2
+
+    # plateau machinery reduces the injected LR after patience bad epochs
+    task.plateau_patience = 0
+    trainer._plateau_best = 0.0
+    trainer._maybe_reduce_lr_on_plateau(1.0)  # bad epoch -> reduce
+    def find_lr(state):
+        if hasattr(state, "hyperparams") and "learning_rate" in state.hyperparams:
+            return float(state.hyperparams["learning_rate"])
+        if isinstance(state, tuple):
+            for s in state:
+                out = find_lr(s)
+                if out is not None:
+                    return out
+        return None
+
+    lr = find_lr(trainer.opt_state)
+    assert lr is not None and lr < trainer.learning_rate
