@@ -42,6 +42,8 @@ Z_LENGTH_BUCKETS = (128, 192, 256, 320, 384, 448, 512, 640, 768, 1024)
 
 
 class GenerationPipeline:
+    z_length_buckets = Z_LENGTH_BUCKETS
+
     def __init__(self, config: dict, params=None, ckpt_path: Optional[str] = None):
         """config: full layered config (model + data sections)."""
         self.config = config
@@ -65,7 +67,19 @@ class GenerationPipeline:
             self.params = params
         else:
             rng = jax.random.PRNGKey(0)
-            self.params = self.model.init_params(rng)
+            # init on tiny-but-consistent shapes: keep the audio:latent ratio
+            # of the config so the wave/U-Net level alignment checks out
+            ratio = self.max_audio_frame // self.model.z_length
+            z_init = min(self.model.z_length, 16)
+            self.params = self.model.init_params(
+                rng,
+                {
+                    "batch": 1,
+                    "z_length": z_init,
+                    "n_mels": self.n_mels,
+                    "mel_length": z_init * ratio,
+                },
+            )
             if ckpt_path and os.path.exists(ckpt_path):
                 self.params = {
                     "params": ckpt_utils.load_with_surgery(
@@ -100,9 +114,11 @@ class GenerationPipeline:
         (capped at the largest), pad/trunc mel to bucket * 64 frames."""
         t = mel.shape[1]
         ratio = self.max_audio_frame // self.model.z_length  # 64
-        needed = (int(t / ratio / 32) + 1) * 32
+        quantum = min(32, self.z_length_buckets[0])
+        needed = (int(t / ratio / quantum) + 1) * quantum
         z_length = next(
-            (b for b in Z_LENGTH_BUCKETS if b >= needed), Z_LENGTH_BUCKETS[-1]
+            (b for b in self.z_length_buckets if b >= needed),
+            self.z_length_buckets[-1],
         )
         audio_frames = z_length * ratio
         if t < audio_frames:
@@ -113,6 +129,39 @@ class GenerationPipeline:
         else:
             mel = mel[:, :audio_frames]
         return mel, z_length
+
+    # -------------------------------------------------------- inpainting
+
+    def encode_chart_latent(self, chart_path: str, z_length: int, count: int):
+        """Encode an existing chart into the latent space for masked
+        partial regeneration (the sampler's mask/x0 path,
+        ref ddim.py:141-144)."""
+        convertor_params = {
+            "frame_ms": self.audio_frame_duration
+            * self.audio_note_window_ratio * 1000,
+            "max_frame": z_length * 8,
+        }
+        hit_objects, meta = parse_osu_file(chart_path, convertor_params)
+        arr, _ = meta.convertor.objects_to_array(hit_objects, meta)
+        note = jnp.asarray(arr.T[None])  # [1, T, 16]
+        z0 = self.model.encode_first_stage_mode(self.params, note)
+        return jnp.broadcast_to(z0, (count,) + z0.shape[1:])
+
+    def make_time_mask(self, z_length: int, keep_ranges_ms, count: int):
+        """mask=1 keeps the original latent; ranges are (start_ms, end_ms)."""
+        frame_ms = (
+            self.audio_frame_duration * self.audio_note_window_ratio
+            * 1000 * 8
+        )  # one latent frame = 8 note frames
+        mask = np.zeros((z_length,), np.float32)
+        for start_ms, end_ms in keep_ranges_ms:
+            a = max(0, int(start_ms / frame_ms))
+            b = min(z_length, int(np.ceil(end_ms / frame_ms)))
+            mask[a:b] = 1.0
+        return jnp.broadcast_to(
+            jnp.asarray(mask)[None, :, None],
+            (count, z_length, self.model.z_channels),
+        )
 
     # ----------------------------------------------------------- sampling
 
@@ -127,8 +176,14 @@ class GenerationPipeline:
         eta: float = 0.0,
         mask=None,
         x0=None,
+        inpaint_from: Optional[str] = None,
+        inpaint_keep_ms: Optional[Sequence] = None,
     ):
-        """Returns (decoded_note_arrays [count, 4K, T] np, prompt_ids)."""
+        """Returns (decoded_note_arrays [count, 4K, T] np, z_length).
+
+        ``inpaint_from`` + ``inpaint_keep_ms=[(start_ms, end_ms), ...]``
+        regenerate everything outside the kept ranges of an existing chart.
+        """
         mel = self.load_mel(audio_path)
         mel, z_length = self.fit_length(mel)
 
@@ -150,6 +205,12 @@ class GenerationPipeline:
         uc = None
         if scale != 1.0:
             uc = self.model.cond_output(self.params, uc_feature)
+
+        if inpaint_from is not None:
+            x0 = self.encode_chart_latent(inpaint_from, z_length, count)
+            mask = self.make_time_mask(
+                z_length, inpaint_keep_ms or [], count
+            )
 
         rng = jax.random.PRNGKey(seed)
         samples, _ = self.sampler.sample(

@@ -70,6 +70,7 @@ class CrossAttention(nn.Module):
     dim_head: int = 64
     dropout: float = 0.0
     position_max_embedding: int = 64
+    use_pallas: bool = False  # fused self-attention kernel (ops/attention_pallas)
 
     @nn.compact
     def __call__(self, x, context=None, mask=None, deterministic: bool = True):
@@ -102,6 +103,22 @@ class CrossAttention(nn.Module):
         c_matrix = c_emb[idx]  # [Lq, Lk, h]
 
         scale = self.dim_head ** -0.5
+
+        if self.use_pallas and context is None and mask is None:
+            from mug_diffusion_tpu.ops.attention_pallas import (
+                fused_relpos_attention,
+            )
+
+            out = fused_relpos_attention(
+                q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+                v.transpose(0, 2, 1, 3),
+                pos_bias.transpose(2, 0, 1), c_matrix.transpose(2, 0, 1),
+                scale,
+            )  # [B, H, L, D]
+            out = out.transpose(0, 2, 1, 3).reshape(B, Lq, inner_dim)
+            out = nn.Dense(self.query_dim, name="to_out")(out)
+            return nn.Dropout(self.dropout)(out, deterministic=deterministic)
+
         sim = jnp.einsum("bqhd,bkhd->bhqk", q, k)
         sim = (sim + pos_bias.transpose(2, 0, 1)[None]) * scale
 

@@ -42,6 +42,11 @@ def get_parser():
     p.add_argument("--scale", type=float, default=1.0,
                    help="classifier-free guidance scale")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--inpaint_from", type=str, default=None,
+                   help="existing .osu chart for masked partial regeneration")
+    p.add_argument("--inpaint_keep", type=str, default=None,
+                   help="comma-separated ms ranges to keep, e.g. "
+                        "'0:30000,60000:90000'")
     return p
 
 
@@ -64,6 +69,13 @@ def main(argv=None):
         else:
             feature_dicts.append({})
 
+    keep_ranges = None
+    if opt.inpaint_keep:
+        keep_ranges = [
+            tuple(float(x) for x in r.split(":"))
+            for r in opt.inpaint_keep.split(",")
+        ]
+
     decoded, z_length = pipeline.sample_charts(
         opt.audio,
         feature_dicts if any(feature_dicts) else {},
@@ -72,6 +84,8 @@ def main(argv=None):
         scale=opt.scale,
         seed=opt.seed,
         eta=opt.ddim_eta,
+        inpaint_from=opt.inpaint_from,
+        inpaint_keep_ms=keep_ranges,
     )
 
     save_dir = os.path.join(opt.outdir, f"{artist} - {title}")

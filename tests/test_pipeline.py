@@ -1,0 +1,168 @@
+"""End-to-end GenerationPipeline test on a tiny config: synthetic WAV ->
+mel -> conditioning -> DDIM CFG sampling -> VAE decode -> .osu/.osz files
+(mirrors the reference webui startMapping flow, ref webui.py:277-482)."""
+
+import os
+import sys
+import wave as wave_mod
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SCHEMA = os.path.join(
+    os.path.dirname(__file__), "..", "configs", "mug",
+    "mania_beatmap_features.yaml",
+)
+TEMPLATE = os.path.join(
+    os.path.dirname(__file__), "..", "assets", "template.osu"
+)
+
+
+def tiny_config():
+    return {
+        "model": {
+            "target": "mug_diffusion_tpu.diffusion.ddpm.DDPM",
+            "params": {
+                "timesteps": 50, "z_channels": 16, "z_length": 8,
+                "parameterization": "eps", "loss_type": "smooth_l1",
+                "unet_config": {
+                    "target": "mug_diffusion_tpu.models.unet.UNetModel",
+                    "params": {
+                        "in_channels": 16, "model_channels": 8,
+                        "out_channels": 16, "num_res_blocks": 1,
+                        "attention_resolutions": [2],
+                        "channel_mult": [1, 2], "num_heads": 2,
+                        "context_dim": 8, "s4_layer": False,
+                        "audio_channels": [8, 8],
+                    },
+                },
+                "first_stage_config": {
+                    "target":
+                        "mug_diffusion_tpu.models.autoencoder.AutoencoderKL",
+                    "params": {
+                        "ddconfig": {
+                            "x_channels": 16, "middle_channels": 8,
+                            "z_channels": 16, "num_groups": 4,
+                            "channel_mult": [1, 2, 4, 4],
+                            "num_res_blocks": 1,
+                        },
+                        "kl_weight": 1e-6,
+                        "lossconfig": "__is_first_stage__",
+                    },
+                },
+                "cond_stage_config": {
+                    "target":
+                        "mug_diffusion_tpu.models.feature.BeatmapFeatureEmbedder",
+                    "params": {"path_to_yaml": SCHEMA, "embed_dim": 8},
+                },
+                "wave_stage_config": {
+                    "target":
+                        "mug_diffusion_tpu.models.wave.MelspectrogramScaleEncoder1D",
+                    "params": {
+                        "n_freq": 16, "middle_channels": 8,
+                        "attention_resolutions": [], "num_res_blocks": 1,
+                        "num_heads": 2, "num_groups": 4,
+                        "channel_mult": [1, 1, 1, 1, 1, 1, 1, 1],
+                        "use_checkpoint": False,
+                    },
+                },
+            },
+        },
+        "data": {
+            "params": {
+                "batch_size": 2,
+                "common_params": {
+                    "sr": 22050, "n_fft": 512, "max_audio_frame": 512,
+                    "audio_note_window_ratio": 8, "n_mels": 16,
+                },
+            }
+        },
+    }
+
+
+@pytest.fixture(scope="module")
+def wav_path(tmp_path_factory):
+    p = tmp_path_factory.mktemp("audio") / "tone.wav"
+    sr = 22050
+    t = np.arange(sr * 3) / sr
+    y = (0.4 * np.sin(2 * np.pi * 330 * t) * 32767).astype(np.int16)
+    with wave_mod.open(str(p), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(y.tobytes())
+    return str(p)
+
+
+@pytest.fixture(scope="module")
+def pipeline():
+    from mug_diffusion_tpu.apps.pipeline import GenerationPipeline
+
+    pipe = GenerationPipeline(tiny_config())
+    pipe.z_length_buckets = (8,)
+    return pipe
+
+
+def test_generate_and_save(pipeline, wav_path, tmp_path):
+    decoded, z_length = pipeline.sample_charts(
+        wav_path, {"sr": 3.0, "rc": 1}, count=2, steps=5, scale=3.0, seed=7,
+    )
+    assert z_length == 8
+    assert decoded.shape == (2, 16, 64)  # [count, 4K planes, note frames]
+    assert np.isfinite(decoded).all()
+
+    save_dir = str(tmp_path / "out")
+    paths = pipeline.save_charts(
+        decoded, save_dir, wav_path, "Tone", "Tester", TEMPLATE, z_length,
+        prompt="sr=3", convert_mp3=False,
+    )
+    assert len(paths) == 2
+    for p in paths:
+        with open(p) as f:
+            body = f.read()
+        assert "[HitObjects]" in body
+        assert "Tone" in body
+    osz = pipeline.package_osz(save_dir, str(tmp_path / "out.osz"))
+    assert os.path.getsize(osz) > 0
+
+
+def test_generate_inpaint(pipeline, wav_path, tmp_path):
+    """Partial regeneration keeps the masked region of an existing chart."""
+    # write a chart with notes in the kept window
+    chart = tmp_path / "orig.osu"
+    lines = [f"64,192,{200 + i * 180},1,0,0:0:0:0:" for i in range(10)]
+    chart.write_text(
+        "osu file format v14\n\n[General]\nAudioFilename: audio.wav\nMode: 3\n"
+        "\n[Metadata]\nVersion:orig\n\n[Difficulty]\nCircleSize: 4\n\n"
+        "[HitObjects]\n" + "\n".join(lines) + "\n"
+    )
+    decoded, z_length = pipeline.sample_charts(
+        wav_path, {}, count=1, steps=5, scale=1.0, seed=3,
+        inpaint_from=str(chart), inpaint_keep_ms=[(0, 1500)],
+    )
+    assert decoded.shape == (1, 16, 64)
+    assert np.isfinite(decoded).all()
+
+
+def test_chart2prompt(tmp_path):
+    from mug_diffusion_tpu.apps.invert import chart_to_prompt
+
+    chart = tmp_path / "c.osu"
+    lines = [f"{64 + (i % 4) * 128},192,{500 + i * 150},1,0,0:0:0:0:"
+             for i in range(60)]
+    chart.write_text(
+        "osu file format v14\n\n[General]\nMode: 3\n\n[Difficulty]\n"
+        "CircleSize: 4\n\n[HitObjects]\n" + "\n".join(lines) + "\n"
+    )
+    result = dict(chart_to_prompt(str(chart), 1.0))
+    assert result["map type"].startswith("Rice")
+    assert result["ln ratio"] == 0.0
+    try:
+        import minacalc  # noqa: F401
+
+        assert "MSD score (Etterna)" in result
+        assert result["MSD score (Etterna)"] > 0
+    except ImportError:
+        pass
