@@ -164,6 +164,86 @@ def gridify(hit_objects, verbose=False):
     return new_hit_objects, bpm, offset
 
 
+def gridify_potassium(hit_objects, fraction: int = 4, verbose: bool = False):
+    """Alternative BPM/offset fitter (ref: scripts/mapping.py:53-165):
+    merges sub-10ms note clusters, grid-searches BPM by variance of grid
+    residuals at 1/``fraction`` lines, then refines the offset with a
+    coarse-to-fine scan weighted by beat-line importance. Returns
+    (bpm, offset)."""
+    time_list = [int(line.split(",")[2]) for line in hit_objects]
+    if len(time_list) == 0:
+        return None
+    start_time = time_list[0]
+
+    # merge clusters of notes closer than 10 ms into (mean_time, count)
+    epsilon = 10
+    times = list(time_list) + [2_000_000_000]
+    cluster_starts = [0]
+    for idx in range(1, len(times)):
+        if times[idx] - times[cluster_starts[-1]] < epsilon:
+            continue
+        cluster_starts.append(idx)
+    der_list = []
+    for i in range(len(cluster_starts) - 1):
+        seg = times[cluster_starts[i]:cluster_starts[i + 1]]
+        der_list.append((sum(seg) / len(seg), len(seg)))
+
+    avg = np.asarray([d[0] for d in der_list], np.float64)
+    cnt = np.asarray([d[1] for d in der_list], np.float64)
+
+    def get_bpm(precision, offset):
+        best_bpm, best_loss = -1, 1e18
+        for bpm_i in range(150 * precision, 300 * precision):
+            bpm = bpm_i / precision
+            gap = 60 * 1000 / (fraction * bpm)
+            gap_time = avg - offset
+            delta = gap_time - gap * np.round(gap_time / gap)
+            s = float(np.sum(delta * cnt))
+            s2 = float(np.sum(delta * delta * cnt))
+            notes = float(np.sum(cnt))
+            loss = (s2 - 2 * s * (s / notes) + (s * s / notes / notes)) / notes
+            loss /= gap
+            if loss < best_loss:
+                best_bpm, best_loss = bpm, loss
+        if verbose:
+            print("potassium bpm loss:", best_loss)
+        return best_bpm
+
+    def get_offset(bpm, offset):
+        if fraction == 12:
+            weights = [100, 0, 20, 50, 60, 0, 100, 0, 60, 50, 20, 0]
+        elif fraction == 4:
+            weights = [100, 100, 100, 100]
+        else:
+            raise ValueError(f"unsupported fraction {fraction}")
+        weights = np.asarray(weights, np.float64)
+        gap = 60 * 1000 / (fraction * bpm)
+
+        def score(off):
+            shang = np.round((avg - off) / gap).astype(np.int64)
+            return float(np.sum(weights[shang % fraction] * cnt))
+
+        for precision_range in [range(-300, 300, 30), range(-30, 30, 5),
+                                range(-5, 5, 1)]:
+            best_off, best_val = offset, score(offset)
+            for i in precision_range:
+                val = score(offset + i)
+                if val > best_val:
+                    best_val, best_off = val, offset + i
+            offset = best_off
+
+        # final least-squares nudge onto the grid
+        gap_time = avg - offset
+        delta = gap_time - gap * np.round(gap_time / gap)
+        offset += float(np.sum(delta * cnt) / np.sum(cnt))
+        return offset
+
+    offset = float(start_time)
+    bpm = get_bpm(10, offset)
+    offset = get_offset(bpm, offset)
+    return bpm, offset
+
+
 def remove_intractable_mania_mini_jacks(
     hit_objects, verbose=False, jack_interval=90
 ):

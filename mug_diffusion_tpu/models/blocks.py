@@ -91,6 +91,62 @@ class Downsample(nn.Module):
         return nn.avg_pool(x, (2,), strides=(2,))
 
 
+class Upsample2D(nn.Module):
+    """2x nearest 2-D upsample + conv (ref: mug/model/models.py:15-30).
+    Layout [B, T, F, C]."""
+
+    channels: int
+    with_conv: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+        if self.with_conv:
+            x = nn.Conv(self.channels, (3, 3), padding=[(1, 1), (1, 1)])(x)
+        return x
+
+
+class Downsample2D(nn.Module):
+    """2x strided 2-D downsample with right/bottom pad
+    (ref: mug/model/models.py:33-52)."""
+
+    channels: int
+    with_conv: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        if self.with_conv:
+            return nn.Conv(
+                self.channels, (3, 3), strides=(2, 2),
+                padding=[(0, 1), (0, 1)],
+            )(x)
+        return nn.avg_pool(x, (2, 2), strides=(2, 2))
+
+
+class ResnetBlock2D(nn.Module):
+    """2-D variant of ResnetBlock (ref: mug/model/models.py:94-159 with
+    dims=2), used by the legacy 2-D mel encoder."""
+
+    in_channels: int
+    out_channels: Optional[int] = None
+    dropout: float = 0.0
+    num_groups: int = 32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        out_ch = self.out_channels or self.in_channels
+        h = Normalize(self.num_groups)(x)
+        h = nn.silu(h)
+        h = nn.Conv(out_ch, (3, 3), padding=[(1, 1), (1, 1)])(h)
+        h = Normalize(self.num_groups)(h)
+        h = nn.silu(h)
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = nn.Conv(out_ch, (3, 3), padding=[(1, 1), (1, 1)])(h)
+        if self.in_channels != out_ch:
+            x = nn.Dense(out_ch)(x)
+        return x + h
+
+
 class ResnetBlock(nn.Module):
     """Pre-norm dilated residual block (ref: mug/model/models.py:94-159)."""
 

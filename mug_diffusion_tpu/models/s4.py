@@ -90,6 +90,38 @@ def nplr_legs(N: int):
     return w_half, P_half, B_half
 
 
+def diag_init(scaling: str, N: int):
+    """S4D initialization (ref: mug/model/s4.py:440-492 dplr):
+    w = -1/2 + i * imag(scaling), B = 1. Returns w (N/2,), B (N/2,)
+    complex128."""
+    n2 = N // 2
+    freqs = np.arange(n2, dtype=np.float64)
+    if scaling in ("lin", "linear", "diag-lin"):
+        imag = np.pi * freqs
+    elif scaling in ("inv", "inverse", "diag-inv"):
+        imag = (N / np.pi) * (N / (1 + 2 * freqs) - 1)
+    else:
+        raise NotImplementedError(scaling)
+    w = -0.5 + 1j * imag
+    B = np.ones(n2, dtype=np.complex128)
+    return w, B
+
+
+def s4d_kernel(log_dt, B, C, inv_w_real, w_imag, L: int):
+    """S4D (diagonal) kernel with ZOH discretization
+    (ref: mug/model/s4.py:1023-1170 SSKernelDiag, disc='zoh'):
+    K_l = 2 Re( sum_n C_n B_n (e^{dtA}-1)/A * e^{dtA n l} )."""
+    dt = jnp.exp(log_dt)  # [H]
+    A = -jnp.exp(inv_w_real) + 1j * w_imag  # [H, N]
+    dtA = A * dt[:, None]
+    Cp = C * B[None] * (jnp.exp(dtA) - 1.0)[None] / A[None]  # [ch, H, N]
+    vander = jnp.exp(
+        dtA[..., None] * jnp.arange(L, dtype=jnp.float32)
+    )  # [H, N, L]
+    K = 2.0 * jnp.real(jnp.einsum("chn,hnl->chl", Cp, vander))
+    return K
+
+
 def cauchy(v, z, w):
     """Cauchy resolvent sum_n v_n / (z - w_n) (ref: s4.py:140-147).
 
@@ -153,11 +185,17 @@ class S4(nn.Module):
     dropout: float = 0.0
     dt_min: float = 0.001
     dt_max: float = 0.1
+    mode: str = "nplr"  # 'nplr' (full S4) or 'diag' (S4D fallback)
+    measure: str = "legs"  # 'legs' for nplr; 'diag-lin'/'diag-inv' for diag
 
     def setup(self):
         H, N = self.d_model, self.d_state
         n2 = N // 2
-        w, P, Bc = nplr_legs(N)
+        if self.mode == "diag":
+            w, Bc = diag_init(self.measure, N)
+            P = np.zeros((1, n2), dtype=np.complex128)
+        else:
+            w, P, Bc = nplr_legs(N)
 
         channels = self.channels * (2 if self.bidirectional else 1)
 
@@ -218,8 +256,12 @@ class S4(nn.Module):
     def compute_kernel(self, L: int):
         """Materialize the real conv kernel [channels, H, L]."""
         B = self.B_re + 1j * self.B_im
-        P = self.P_re + 1j * self.P_im
         C = self.C_pair[..., 0] + 1j * self.C_pair[..., 1]
+        if self.mode == "diag":
+            return s4d_kernel(
+                self.log_dt, B, C, self.inv_w_real, self.w_imag, L
+            )
+        P = self.P_re + 1j * self.P_im
         return s4_kernel_nplr(
             self.log_dt, B, C, P, self.inv_w_real, self.w_imag, L
         )

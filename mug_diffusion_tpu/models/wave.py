@@ -85,6 +85,62 @@ class MelspectrogramScaleEncoder1D(nn.Module):
         return hs
 
 
+class MelspectrogramEncoder(nn.Module):
+    """Legacy 2-D mel encoder (ref: mug/cond/wave.py:129-228): 2-D conv
+    pyramid over (time, freq), frequency folded into channels at the bottom,
+    then 1-D refinement. Layout [B, T, F] -> [B, T', out_channels]."""
+
+    n_freq: int
+    middle_channels: int
+    out_channels: int
+    channel_mult: Sequence[int]
+    num_res_blocks: int
+    use_checkpoint: bool = True
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        from mug_diffusion_tpu.models.blocks import (
+            Downsample2D,
+            ResnetBlock2D,
+        )
+
+        num_resolutions = len(self.channel_mult)
+        inchannel_mult = (1,) + tuple(self.channel_mult)
+
+        h = x[..., None]  # [B, T, F, 1]
+        h = nn.Conv(self.middle_channels, (3, 3), padding=[(1, 1), (1, 1)])(h)
+        n_freq = self.n_freq
+        for i_level in range(num_resolutions):
+            block_in = self.middle_channels * inchannel_mult[i_level]
+            block_out = self.middle_channels * self.channel_mult[i_level]
+            for _ in range(self.num_res_blocks):
+                h = ResnetBlock2D(
+                    in_channels=block_in, out_channels=block_out,
+                    num_groups=8,
+                )(h, deterministic=deterministic)
+                block_in = block_out
+            if i_level != num_resolutions - 1:
+                h = Downsample2D(block_in, True)(h)
+                n_freq //= 2
+
+        # fold frequency into channels: [B, T', F', C] -> [B, T', F'*C]
+        B, T = h.shape[0], h.shape[1]
+        h = h.reshape(B, T, -1)
+
+        h = ResnetBlock(
+            in_channels=h.shape[-1], out_channels=self.middle_channels,
+            num_groups=16,
+        )(h, deterministic=deterministic)
+        h = ResnetBlock(
+            in_channels=self.middle_channels,
+            out_channels=self.middle_channels, num_groups=8,
+        )(h, deterministic=deterministic)
+
+        h = Normalize(8)(h)
+        h = nn.silu(h)
+        return nn.Conv(self.out_channels, (3,), padding=[(1, 1)])(h)
+
+
 class MelspectrogramEncoder1D(nn.Module):
     """Single-output 1-D mel encoder (legacy alt, ref: wave.py:231-319)."""
 

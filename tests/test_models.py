@@ -299,6 +299,48 @@ def test_wave_encoder_scales():
     assert hs[3].shape == (1, 8, 16)
 
 
+def test_s4d_diag_mode():
+    """S4D: kernel must equal the dense diagonal ZOH recurrence
+    k_l = 2 Re(sum C B (e^dtA - 1)/A e^{dtA l})."""
+    from mug_diffusion_tpu.models.s4 import S4
+
+    H, N, L = 2, 8, 16
+    s4 = S4(d_model=H, d_state=N, mode="diag", measure="diag-lin")
+    u = jax.random.normal(KEY, (1, L, H))
+    variables = s4.init(KEY, u)
+    k = np.asarray(s4.apply(variables, L, method=S4.compute_kernel))[0]
+
+    p = variables["params"]
+    dt = np.exp(np.asarray(p["log_dt"]))
+    A = -np.exp(np.asarray(p["inv_w_real"])) + 1j * np.asarray(p["w_imag"])
+    B = np.asarray(p["B_re"]) + 1j * np.asarray(p["B_im"])
+    C = np.asarray(p["C"][..., 0]) + 1j * np.asarray(p["C"][..., 1])
+    k_ref = np.zeros((H, L))
+    for h in range(H):
+        dtA = A[h] * dt[h]
+        Cp = C[0, h] * B[h] * (np.exp(dtA) - 1) / A[h]
+        for l in range(L):
+            k_ref[h, l] = 2 * np.real(np.sum(Cp * np.exp(dtA * l)))
+    np.testing.assert_allclose(k, k_ref, atol=1e-4, rtol=1e-3)
+
+    # forward runs
+    y = s4.apply(variables, u)
+    assert y.shape == u.shape
+
+
+def test_melspectrogram_encoder_2d():
+    from mug_diffusion_tpu.models.wave import MelspectrogramEncoder
+
+    enc = MelspectrogramEncoder(
+        n_freq=16, middle_channels=8, out_channels=4,
+        channel_mult=[1, 2], num_res_blocks=1, use_checkpoint=False,
+    )
+    x = jax.random.normal(KEY, (1, 32, 16))
+    p = enc.init(KEY, x)
+    y = enc.apply(p, x)
+    assert y.shape == (1, 16, 4)  # one 2-D downsample halves time
+
+
 # ---------------------------------------------------------------- unet
 
 def test_unet_forward_tiny():
