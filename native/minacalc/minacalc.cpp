@@ -543,6 +543,98 @@ struct FlamJam {
   }
 };
 
+// ------------------------------------------------- TheThing1/2 (agnostic)
+
+// [xx]a[yy]b[zz]-style jumptrillable sequences
+// [Agnostic/HA_Sequencers/ThingSequencing.h, HA_PatternMods/TheThingFinder.h]
+struct TheThingMod {
+  bool variant2;  // thing2 detects [12]3[24]1[34]... (stricter start/steps)
+  unsigned slip = 0;
+  bool slippin = false;
+  int slide = 0;
+  int slip_counter = 0;
+  std::array<float, 4> mod_parts{{1, 1, 1, 1}};
+  static constexpr float kScaler = 0.2f;
+
+  TheThingMod(bool v2) : variant2(v2) {}
+
+  bool start_test(unsigned notes) const {
+    if (variant2) return notes == 3 || notes == 12;
+    return notes == 3 || notes == 7 || notes == 12 || notes == 14;
+  }
+
+  bool check(unsigned notes) const {
+    if (!variant2) {
+      switch (slide) {
+        case 1:  // needs_single
+          if (slip == 3 || slip == 7) return notes == 8;
+          return notes == 1;
+        case 2:  // needs_23_jump
+          return notes == 6;
+        case 3:  // needs_opposing_single
+          if (slip == 3 || slip == 7) return notes == 1;
+          return notes == 8;
+        case 4:  // needs_opposing_ohjump
+          if (slip == 3 || slip == 7) return notes == 12 || notes == 14;
+          return notes == 3 || notes == 7;
+        default:
+          return false;
+      }
+    }
+    switch (slide) {
+      case 1:  // needs_single
+        if (slip == 3) return notes == 4;
+        return notes == 2;
+      case 2:  // needs_door
+        if (slip == 3) return notes == 10;
+        return notes == 5;
+      case 3:  // needs_blaap
+        if (slip == 3) return notes == 1;
+        return notes == 8;
+      case 4:  // needs_opposing_ohjump
+        if (slip == 3) return notes == 12;
+        return notes == 3;
+      default:
+        return false;
+    }
+  }
+
+  void start(unsigned notes) {
+    slip = notes;
+    slide = 1;
+    slippin = true;
+  }
+
+  void advance(float /*ms_now*/, unsigned notes) {
+    if (notes == 15u) {
+      slippin = false;
+      return;
+    }
+    if (!slippin) {
+      if (start_test(notes)) start(notes);
+      return;
+    }
+    if (check(notes)) {
+      ++slide;
+      if (slide == 5) {
+        if (slip_counter < 4) mod_parts[slip_counter] = kScaler;
+        ++slip_counter;
+        start(notes);
+      }
+    } else {
+      slippin = false;
+    }
+  }
+
+  float pmod() {
+    float p = (mod_parts[0] + mod_parts[1] + mod_parts[2] + mod_parts[3]) / 4.f;
+    p = Clamp(0.05f + p, 0.15f, 1.f);
+    slip_counter = 0;
+    mod_parts.fill(1.f);
+    return p;
+  }
+};
+
 // -------------------------------------------------- hand-dependent sequencing
 
 enum ColType { kColLeft, kColRight, kColOHJump, kColEmpty, kColInit };
@@ -1089,6 +1181,8 @@ static ColType DetermineColType(unsigned notes, unsigned hand_id) {
 }
 
 // Anchor_Sequencing [GenericSequencing.h]
+enum AnchStatus { kAnchInit, kAnchReset, kAnchoring };
+
 struct AnchorSeq {
   int len = 1;
   float sc_ms = kMsInit;
@@ -1097,12 +1191,14 @@ struct AnchorSeq {
   float last = kSInit;
   float start = kSInit;
   bool init = true;
+  AnchStatus status = kAnchInit;
 
   void reset() {
     len = 1;
     sc_ms = max_ms = len_cap_ms = kMsInit;
     last = start = kSInit;
     init = true;
+    status = kAnchInit;
   }
 
   void advance(float now) {
@@ -1111,13 +1207,16 @@ struct AnchorSeq {
       init = false;
       last = now;
       max_ms = sc_ms;
+      status = kAnchInit;
       return;
     }
     if (sc_ms > max_ms + 10.f || sc_ms * 2.34f < max_ms) {
       start = last;
       len = 2;
+      status = kAnchReset;
     } else {
       ++len;
+      status = kAnchoring;
     }
     max_ms = sc_ms;
     last = now;
@@ -1202,6 +1301,230 @@ struct Sequencer {
   }
 };
 
+// RunningMan sequencing + mod [Dependent/HD_Sequencers/RMSequencing.h,
+// HD_PatternMods/RunningMan.h]
+enum RMB { kRmbOffTapOH, kRmbOffTapSH, kRmbAnchor, kRmbJack, kRmbInit };
+
+struct RMSeq {
+  ColType ct = kColInit;
+  bool running = false;
+  RMB rmb = kRmbInit, last_rmb = kRmbInit;
+  // RunningMan counters
+  int ran_taps = 0, len = 0, off_taps = 0, off_len = 0, off_taps_sh = 0;
+  int oht_taps = 0, oht_len = 0, ot_sh_len = 0, jack_taps = 0, jack_len = 0;
+  int anch_len = 0;
+  bool is_bursting = false, had_burst = false;
+  float last_anchor_time = kSInit, start = kSInit;
+
+  // limits [RunningMan.h params]
+  static constexpr int kMaxOht = 2, kMaxOff = 3, kMaxOtSh = 2, kMaxBurst = 6,
+                       kMaxJack = 3, kMaxAnch = 5;
+
+  void full_reset() {
+    running = false;
+    rmb = last_rmb = kRmbInit;
+    start = last_anchor_time = kSInit;
+    is_bursting = had_burst = false;
+    ran_taps = len = off_taps = off_len = off_taps_sh = 0;
+    oht_taps = oht_len = ot_sh_len = jack_taps = jack_len = anch_len = 0;
+  }
+
+  void restart(const AnchorSeq& as) {
+    start = as.last - as.sc_ms / 1000.f;
+    last_anchor_time = as.last;
+    len = 2;
+    ran_taps = 2;
+    is_bursting = had_burst = false;
+    off_taps_sh = off_taps = off_len = 0;
+    oht_taps = oht_len = jack_taps = jack_len = anch_len = 0;
+    // retroactively apply the same-hand off tap that allowed the restart
+    ++off_taps_sh;
+    ++ot_sh_len;
+    ++off_len;
+    ++off_taps;
+    ++ran_taps;
+  }
+
+  bool off_len_exceeds_max() {
+    if (off_len <= kMaxOff) return false;
+    if (had_burst || off_len > kMaxBurst) return true;
+    is_bursting = true;
+    return false;
+  }
+
+  void end_off_tap_run() {
+    if (is_bursting) {
+      is_bursting = false;
+      had_burst = true;
+    }
+    off_len = 0;
+    ot_sh_len = 0;
+  }
+
+  void advance_off_hand() {
+    // rmb_off_tap_oh behavior
+    ++off_len;
+    ++off_taps;
+    ++ran_taps;
+    if (off_len_exceeds_max()) running = false;
+    else jack_len = 0;
+    last_rmb = kRmbOffTapOH;
+  }
+
+  void advance(ColType now_ct, BaseType bt, MetaType mt,
+               const AnchorSeq& as) {
+    if (mt == kMetaCCCCCC && now_ct != ct) {
+      if (oht_len == 0) {
+        ++oht_len;
+        ++oht_taps;
+      }
+      ++oht_len;
+      ++oht_taps;
+      if (oht_len > kMaxOht) running = false;
+    }
+    last_anchor_time = as.last;
+
+    switch (bt) {
+      case kBaseLeftRight:
+      case kBaseRightLeft:
+      case kBaseSingleSingle:
+        rmb = (ct == now_ct) ? kRmbAnchor : kRmbOffTapSH;
+        break;
+      case kBaseJumpSingle:
+        if (last_rmb == kRmbOffTapOH)
+          rmb = (ct == now_ct) ? kRmbAnchor : kRmbOffTapSH;
+        else
+          rmb = kRmbJack;
+        break;
+      case kBaseSingleJump:
+      case kBaseJumpJump:
+        rmb = (last_rmb == kRmbOffTapOH) ? kRmbAnchor : kRmbJack;
+        break;
+      default:
+        return;  // init: bail without updating last_rmb
+    }
+
+    if (!running) {
+      if (rmb == kRmbAnchor && last_rmb == kRmbOffTapSH) {
+        running = true;
+        restart(as);
+      }
+    } else {
+      switch (rmb) {
+        case kRmbOffTapSH:
+          ++off_taps_sh;
+          ++ot_sh_len;
+          ++off_len;
+          ++off_taps;
+          ++ran_taps;
+          if (off_len_exceeds_max() || ot_sh_len > kMaxOtSh) {
+            running = false;
+          } else {
+            anch_len = 0;
+            jack_len = 0;
+          }
+          break;
+        case kRmbAnchor:
+          if (anch_len > kMaxAnch) {
+            running = false;
+            break;
+          }
+          if (as.status == kAnchReset) {
+            if (last_rmb == kRmbOffTapSH) restart(as);
+            else running = false;
+          } else if (as.status == kAnchoring) {
+            ++len;
+            ++anch_len;
+            ++ran_taps;
+            off_len = 0;
+            ot_sh_len = 0;
+          }
+          break;
+        case kRmbJack:
+          ++jack_len;
+          ++jack_taps;
+          ++ran_taps;
+          if (jack_len > kMaxJack) running = false;
+          else end_off_tap_run();
+          break;
+        default:
+          break;
+      }
+    }
+    last_rmb = rmb;
+  }
+
+  float offhand_tap_prop() const {
+    if (off_taps - off_taps_sh <= 0) return 0.f;
+    return static_cast<float>(off_taps - off_taps_sh) /
+           static_cast<float>(len);
+  }
+  float off_tap_same_prop() const {
+    if (off_taps_sh == 0) return 0.f;
+    return static_cast<float>(off_taps_sh) / static_cast<float>(len);
+  }
+
+  float difficulty() const {
+    // rma_diff_scaler = 1.52 * basescalers[tech] [RMSequencing.h:5]
+    if (!running || len < 3) return 1.f;
+    float total_ms = MsFrom(last_anchor_time, start);
+    float pule = total_ms / static_cast<float>(len - 1);
+    return MsToScaledNps(pule) * 1.52f * kBaseScalers[kTechnical];
+  }
+};
+
+struct RunningManMod {
+  std::array<RMSeq, 2> rms;
+  RMSeq highest;
+
+  void full_reset() {
+    rms[0].full_reset();
+    rms[1].full_reset();
+    rms[0].ct = kColLeft;
+    rms[1].ct = kColRight;
+    highest.full_reset();
+  }
+
+  void advance_off_hand() {
+    rms[0].advance_off_hand();
+    rms[1].advance_off_hand();
+  }
+
+  void advance(ColType ct, BaseType bt, MetaType mt, const Sequencer& seq) {
+    rms[0].advance(ct, bt, mt, seq.anch[0]);
+    rms[1].advance(ct, bt, mt, seq.anch[1]);
+    if (rms[0].running && rms[1].running)
+      highest = rms[0].difficulty() > rms[1].difficulty() ? rms[0] : rms[1];
+    else
+      highest = rms[0].running ? rms[0] : rms[1];
+  }
+
+  float highest_anchor_difficulty() const {
+    float oht_p = Clamp(1.5f - highest.offhand_tap_prop(), 0.75f, 1.f);
+    return highest.difficulty() * oht_p;
+  }
+
+  float operator()(int total_taps) {
+    float pmod = 1.f;
+    if (total_taps == 0) {
+      pmod = 1.f;
+    } else if (highest.len < 5 || highest.ran_taps < 1 ||
+               highest.off_taps_sh < 1) {
+      pmod = 1.f;  // min_mod
+    } else {
+      float offhand = Clamp(1.7f - highest.offhand_tap_prop(), 0.f, 1.f);
+      float same = Clamp(0.8f + highest.off_tap_same_prop(), 0.f, 1.25f);
+      float anchor_len_comp = Clamp(highest.len / 5.f, 0.f, 1.25f);
+      float jack_bonus = highest.jack_taps >= 1 ? 0.1f : 0.f;
+      float oht_bonus = highest.oht_taps >= 1 ? 0.1f : 0.f;
+      float p = 0.5f + anchor_len_comp + jack_bonus + oht_bonus;
+      pmod = Clamp(std::sqrt(p * same * offhand), 1.f, 1.1f);
+    }
+    highest.full_reset();
+    return pmod;
+  }
+};
+
 // WideRangeAnchorMod [Dependent/HD_PatternMods/WideRangeAnchor.h]
 static float WideRangeAnchorMod(const ItvHandInfo& itvhi,
                                 const Sequencer& seq) {
@@ -1221,10 +1544,16 @@ struct TechBase {
   std::array<float, kMaxRowsPerInterval> tc_static{};
   int row_counter = 0;
   MovingWindow<float> teehee;
+  float rm_itv_max_diff = 0.f;  // runningman anchor diff [techyo]
 
   void reset() {
     row_counter = 0;
     teehee.fill(0.f);
+    rm_itv_max_diff = 0.f;
+  }
+
+  void advance_rm_comp(float rm_diff) {
+    rm_itv_max_diff = std::max(rm_itv_max_diff, rm_diff);
   }
 
   void advance(const Sequencer& seq, ColType ct) {
@@ -1252,16 +1581,24 @@ struct TechBase {
   }
 
   float itv_diff(float nps_base) const {
-    if (row_counter == 0) return std::max(0.f, nps_base * 4.f / 9.f);
-    float total = 0.f;
-    for (int i = 0; i < row_counter; ++i) total += tc_static[i];
-    float ms_mean = total / static_cast<float>(row_counter);
-    float tc = MsToScaledNps(ms_mean);
-    // weighted_average(tc, nps, 4, 9)
-    return (4.f * tc + 5.f * nps_base) / 9.f;
+    float tc_part;
+    if (row_counter == 0) {
+      tc_part = std::max(0.f, nps_base * 4.f / 9.f);
+    } else {
+      float total = 0.f;
+      for (int i = 0; i < row_counter; ++i) total += tc_static[i];
+      float ms_mean = total / static_cast<float>(row_counter);
+      float tc = MsToScaledNps(ms_mean);
+      tc_part = (4.f * tc + 5.f * nps_base) / 9.f;  // weighted_average 4:9
+    }
+    // merge with the runningman anchor difficulty [techyo get_itv_diff]
+    return std::max(tc_part, rm_itv_max_diff);
   }
 
-  void interval_end() { row_counter = 0; }
+  void interval_end() {
+    row_counter = 0;
+    rm_itv_max_diff = 0.f;
+  }
 };
 
 // ----------------------------------------------------------- main pipeline
@@ -1273,6 +1610,7 @@ static void RunPatternMods(Calc& c) {
   JSModState js;
   HSModState hs;
   FlamJam fj;
+  TheThingMod tt(false), tt2(true);
   for (int h = 0; h < kNumHands; ++h)
     for (int p = 0; p < kNumPMods; ++p)
       c.doot[h][p].assign(c.numitv, 1.f);
@@ -1282,6 +1620,8 @@ static void RunPatternMods(Calc& c) {
       const RowInfo& ri = c.rows[itv][row];
       mri.advance(mitvi, ri.time, ri.count, ri.notes);
       fj.advance(mri.ms_now, ri.notes);
+      tt.advance(mri.ms_now, ri.notes);
+      tt2.advance(mri.ms_now, ri.notes);
     }
     c.doot[kLeft][kPmStream][itv] = StreamMod(mitvi);
     c.doot[kLeft][kPmJS][itv] = js(mitvi);
@@ -1289,11 +1629,15 @@ static void RunPatternMods(Calc& c) {
     c.doot[kLeft][kPmCJ][itv] = CJMod(mitvi);
     c.doot[kLeft][kPmCJDensity][itv] = CJDensityMod(mitvi);
     c.doot[kLeft][kPmFlamJam][itv] = fj.pmod();
+    c.doot[kLeft][kPmTheThing][itv] = tt.pmod();
+    c.doot[kLeft][kPmTheThing2][itv] = tt2.pmod();
     mitvi.interval_end();
   }
-  for (int p : {kPmStream, kPmJS, kPmHS, kPmCJ, kPmCJDensity, kPmFlamJam})
+  for (int p : {kPmStream, kPmJS, kPmHS, kPmCJ, kPmCJDensity, kPmFlamJam,
+                kPmTheThing, kPmTheThing2})
     Smooth(c.doot[kLeft][p], 1.f, c.numitv);
-  for (int p : {kPmStream, kPmJS, kPmHS, kPmCJ, kPmCJDensity, kPmFlamJam})
+  for (int p : {kPmStream, kPmJS, kPmHS, kPmCJ, kPmCJDensity, kPmFlamJam,
+                kPmTheThing, kPmTheThing2})
     c.doot[kRight][p] = c.doot[kLeft][p];
 
   // dependent loop [Ulbu.h run_dependent_pmod_loop]
@@ -1327,11 +1671,13 @@ static void RunPatternMods(Calc& c) {
     ChaosMod chaos;
     WRJTMod wrjt;
     WRRMod wrr;
+    RunningManMod rm;
     chaos.full_reset();
     wrjt.full_reset();
     wrr.full_reset();
     oht.full_reset();
     voht.full_reset();
+    rm.full_reset();
 
     // metaHandInfo chain [Dependent/MetaHandInfo.h]
     ColType last_ct = kColInit;
@@ -1344,7 +1690,13 @@ static void RunPatternMods(Calc& c) {
       for (int row = 0; row < c.itv_size[itv]; ++row) {
         const RowInfo& ri = c.rows[itv][row];
         ColType ct = DetermineColType(ri.notes, hand_ids[h]);
-        if (ct == kColEmpty) continue;
+        if (ct == kColEmpty) {
+          // runningman tracks off-hand taps even on empty rows for this
+          // hand [Ulbu.h:370-376]
+          rm.advance_off_hand();
+          if (ri.count == 2) rm.advance_off_hand();
+          continue;
+        }
         float any_ms = MsFrom(ri.time, last_row_time);
         seq.advance(ct, ri.time, any_ms);
 
@@ -1367,8 +1719,10 @@ static void RunPatternMods(Calc& c) {
         wrr.advance(bt, mt, last_mt, seq.mw_any_ms.now(), seq.sc_ms_now(ct));
         wrjt.advance(bt, mt, last_mt, seq.mw_any_ms);
         chaos.advance(seq.mw_any_ms);
+        rm.advance(ct, bt, mt, seq);
 
         tech.advance(seq, ct);
+        tech.advance_rm_comp(rm.highest_anchor_difficulty());
         // jack difficulty per row [Ulbu.h update_sequenced_base_diffs]
         c.jack_diff[h].push_back(
             {ri.time,
@@ -1393,6 +1747,7 @@ static void RunPatternMods(Calc& c) {
       c.doot[h][kPmWideRangeRoll][itv] = wrr(itvhi);
       c.doot[h][kPmWideRangeJumptrill][itv] = wrjt(itvhi);
       c.doot[h][kPmWideRangeAnchor][itv] = WideRangeAnchorMod(itvhi, seq);
+      c.doot[h][kPmRanMan][itv] = rm(itvhi.taps_nowi());
       base_type_counts.fill(0);
 
       c.tech_base[h][itv] = tech.itv_diff(c.nps_base[h][itv]);
