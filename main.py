@@ -124,7 +124,8 @@ def main(argv=None):
         "n_mels": common.get("n_mels", 128),
         "audio_note_window_ratio": common.get("audio_note_window_ratio", 8),
     }
-    trainer.setup(batch_spec=batch_spec, restore_path=ckpt)
+    trainer.setup(batch_spec=batch_spec, restore_path=ckpt,
+                  resume=bool(opt.resume))
 
     if opt.train:
         trainer.fit(data)

@@ -142,22 +142,37 @@ class Trainer:
 
     # -------------------------------------------------------------- setup
 
-    def setup(self, batch_spec=None, restore_path: Optional[str] = None):
+    def setup(self, batch_spec=None, restore_path: Optional[str] = None,
+              resume: bool = False):
+        """``resume=True`` additionally restores optimizer state and the
+        global step from a full checkpoint (ref main.py:492-510 -r resume);
+        otherwise a restore is a weights-only partial load with surgery."""
         rng = jax.random.PRNGKey(self.seed)
         self.params = self.task.init_params(rng, batch_spec)
 
         # optional checkpoint surgery restore (ckpt_path in model config)
         model_cfg_params = self.task.config.get("params", {})
         ckpt_path = restore_path or model_cfg_params.get("ckpt_path")
+        restored = None
         if ckpt_path and os.path.exists(ckpt_path):
-            self.params = {
-                "params": ckpt_utils.load_with_surgery(
-                    ckpt_path,
+            if resume:
+                restored = ckpt_utils.load_checkpoint(ckpt_path)
+                merged, _, _ = ckpt_utils.merge_partial(
                     self.params["params"],
-                    ignore_keys=model_cfg_params.get("ignore_keys", ()) or (),
-                    remove_prefix=model_cfg_params.get("remove_prefix"),
+                    ckpt_utils.flatten_params(restored["params"]),
                 )
-            }
+                self.params = {"params": merged}
+                self.global_step = int(restored.get("step", 0))
+            else:
+                self.params = {
+                    "params": ckpt_utils.load_with_surgery(
+                        ckpt_path,
+                        self.params["params"],
+                        ignore_keys=model_cfg_params.get("ignore_keys", ())
+                        or (),
+                        remove_prefix=model_cfg_params.get("remove_prefix"),
+                    )
+                }
 
         self.optimizer = self.task.make_optimizer(self.params, self.learning_rate)
         if self.accumulate > 1:
@@ -165,6 +180,15 @@ class Trainer:
                 self.optimizer, every_k_schedule=self.accumulate
             )
         self.opt_state = self.optimizer.init(self.params)
+        if resume and restored is not None and "opt_state" in restored:
+            try:
+                self.opt_state = jax.tree_util.tree_map(
+                    lambda tgt, src: jax.numpy.asarray(src)
+                    if hasattr(tgt, "shape") else src,
+                    self.opt_state, restored["opt_state"],
+                )
+            except Exception as e:  # structure changed; fresh opt state
+                print(f"opt_state restore failed ({e}); reinitialized")
         self._build_steps()
         return self
 
