@@ -35,6 +35,28 @@ VERSION = "tpu-0.1"
 output_path = "outputs/webui"
 
 
+def check_update(current_version: str = VERSION):
+    """Optional release check (ref: webui.py:85-97). Queries the endpoint in
+    MUG_UPDATE_URL (JSON {'version': ..., 'url': ...}); silently no-ops when
+    unset, offline, or requests is unavailable."""
+    url = os.environ.get("MUG_UPDATE_URL")
+    if not url:
+        return None
+    try:
+        import requests
+
+        data = requests.get(url, timeout=5).json()
+        if data.get("version") and data["version"] != current_version:
+            print(
+                f"New version available: {data['version']} "
+                f"(current {current_version}): {data.get('url', '')}"
+            )
+            return data
+    except Exception:  # noqa: BLE001 - update check must never break startup
+        pass
+    return None
+
+
 def generate_feature_dict(
     rss, rs, srs, sr, etts, ett, cjs, cj, cjss, cjsc, stas, sta, stass, stasc,
     sss, ss, ssss, sssc, jss, js, jsss, jssc, hss, hs, hsss, hssc, jsps, jsp,
@@ -289,6 +311,7 @@ def main(argv=None):
     p.add_argument("--share", action="store_true")
     opt = p.parse_args(argv)
 
+    check_update()
     config = load_config(opt.model_config)
     pipeline = GenerationPipeline(config, ckpt_path=opt.ckpt)
     demo = build_ui(pipeline, opt.template_beatmap)
