@@ -270,10 +270,9 @@ class DDPM:
         loss_dict = {}
         prefix = "train" if train else "val"
         if self.parameterization == "recon":
-            recon = self.model.apply(params, model_out, method="decode")
             raise NotImplementedError(
-                "recon parameterization requires the VAE loss; unsupported in "
-                "the live config"
+                "recon parameterization requires the VAE loss; the live "
+                "config uses eps (ref mug_diffusion.yaml:12)"
             )
 
         loss_el = self.get_loss(model_out, target)

@@ -35,7 +35,7 @@ class GEGLU(nn.Module):
     def __call__(self, x):
         x = nn.Dense(self.dim_out * 2)(x)
         x, gate = jnp.split(x, 2, axis=-1)
-        return x * nn.gelu(gate)
+        return x * nn.gelu(gate, approximate=False)  # torch F.gelu default is exact erf
 
 
 class FeedForward(nn.Module):
@@ -54,7 +54,7 @@ class FeedForward(nn.Module):
         if self.glu:
             x = GEGLU(inner)(x)
         else:
-            x = nn.gelu(nn.Dense(inner)(x))
+            x = nn.gelu(nn.Dense(inner)(x), approximate=False)
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
         return nn.Dense(self.dim_out or self.dim)(x)
 

@@ -288,7 +288,7 @@ class S4(nn.Module):
 
         # flatten channels: [B, L, ch*H]
         y = y.transpose(0, 2, 1, 3).reshape(u.shape[0], L, -1)
-        y = self.drop(nn.gelu(y), deterministic=deterministic)
+        y = self.drop(nn.gelu(y, approximate=False), deterministic=deterministic)
         y = self.output_linear(y)
         a, b = jnp.split(y, 2, axis=-1)
         return a * jax.nn.sigmoid(b)  # GLU

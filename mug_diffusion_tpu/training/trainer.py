@@ -34,12 +34,14 @@ from mug_diffusion_tpu.utils import checkpoint as ckpt_utils
 
 
 class CSVLogger:
-    """Minimal CSV metrics logger (Lightning CSVLogger equivalent)."""
+    """Minimal CSV metrics logger (Lightning CSVLogger equivalent).
+    Handles evolving key sets by rewriting the file with the union header
+    when new metric names appear (train vs val rows differ)."""
 
     def __init__(self, logdir: str):
         os.makedirs(logdir, exist_ok=True)
         self.path = os.path.join(logdir, "metrics.csv")
-        self._keys: Optional[List[str]] = None
+        self._keys: List[str] = []
 
     def log(self, metrics: Dict[str, Any], step: int):
         row = {"step": step}
@@ -50,16 +52,24 @@ class CSVLogger:
                 for k, v in metrics.items()
             }
         )
-        exists = os.path.isfile(self.path)
+        new_keys = [k for k in row if k not in self._keys]
+        if new_keys:
+            old_keys = self._keys
+            self._keys = sorted(set(old_keys) | set(row.keys()))
+            if old_keys and os.path.isfile(self.path):
+                # rewrite existing rows under the union header
+                with open(self.path, newline="") as f:
+                    old_rows = list(csv.DictReader(f))
+                with open(self.path, "w", newline="") as f:
+                    writer = csv.DictWriter(f, fieldnames=self._keys)
+                    writer.writeheader()
+                    for r in old_rows:
+                        writer.writerow(r)
+            else:
+                with open(self.path, "w", newline="") as f:
+                    csv.DictWriter(f, fieldnames=self._keys).writeheader()
         with open(self.path, "a", newline="") as f:
-            writer = csv.DictWriter(f, fieldnames=sorted(row.keys()))
-            if not exists:
-                writer.writeheader()
-            try:
-                writer.writerow(row)
-            except ValueError:
-                # new keys appeared; rewrite with union header
-                pass
+            csv.DictWriter(f, fieldnames=self._keys).writerow(row)
 
 
 class Trainer:

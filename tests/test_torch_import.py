@@ -1,0 +1,269 @@
+"""Numerical parity: reference PyTorch modules vs our flax modules after
+torch_import conversion. Instantiates the actual reference code (read-only,
+with stub shims for its unavailable deps), runs both on the same inputs, and
+requires matching outputs — the strongest cross-framework check we have.
+
+Skipped when /root/reference is unavailable.
+"""
+
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(os.path.join(REF, "mug")), reason="reference not mounted"
+)
+
+SCHEMA = os.path.join(REF, "configs", "mug", "mania_beatmap_features.yaml")
+
+
+@pytest.fixture(scope="module")
+def torch_ref():
+    """Import the reference mug modules with shims for absent deps."""
+    import torch
+
+    # shim pytorch_lightning / librosa / audioread / soundfile
+    pl = types.ModuleType("pytorch_lightning")
+    pl.LightningModule = torch.nn.Module
+    pl.Callback = object
+    utils_mod = types.ModuleType("pytorch_lightning.utilities")
+    dist_mod = types.ModuleType("pytorch_lightning.utilities.distributed")
+    dist_mod.rank_zero_only = lambda fn: fn
+    utils_mod.rank_zero_only = lambda fn: fn
+    utils_mod.distributed = dist_mod
+    pl.utilities = utils_mod
+    sys.modules.setdefault("pytorch_lightning", pl)
+    sys.modules.setdefault("pytorch_lightning.utilities", utils_mod)
+    sys.modules.setdefault("pytorch_lightning.utilities.distributed", dist_mod)
+    for name in ("librosa", "soundfile", "audioread", "audioread.ffdec"):
+        sys.modules.setdefault(name, types.ModuleType(name))
+    oc = types.ModuleType("omegaconf")
+    oc_list = types.ModuleType("omegaconf.listconfig")
+    oc_list.ListConfig = list
+    oc.listconfig = oc_list
+    sys.modules.setdefault("omegaconf", oc)
+    sys.modules.setdefault("omegaconf.listconfig", oc_list)
+
+    sys.path.insert(0, REF)
+    try:
+        import mug.diffusion.unet as ref_unet
+        import mug.firststage.autoencoder as ref_vae
+        import mug.cond.wave as ref_wave
+        import mug.cond.feature as ref_feature
+    finally:
+        sys.path.pop(0)
+    return types.SimpleNamespace(
+        torch=torch, unet=ref_unet, vae=ref_vae, wave=ref_wave,
+        feature=ref_feature,
+    )
+
+
+def to_np(sd):
+    return {k: v.detach().numpy() for k, v in sd.items()}
+
+
+def test_embedder_parity(torch_ref):
+    import jax
+    import jax.numpy as jnp
+
+    from mug_diffusion_tpu.models.feature import BeatmapFeatureEmbedder
+    from mug_diffusion_tpu.utils.checkpoint import (
+        flatten_params, unflatten_params,
+    )
+    from mug_diffusion_tpu.utils.torch_import import (
+        apply_mappings, embedder_mappings,
+    )
+
+    torch = torch_ref.torch
+    torch.manual_seed(0)
+    cwd = os.getcwd()
+    os.chdir(REF)  # the ref embedder resolves the yaml path relative to cwd
+    try:
+        t_mod = torch_ref.feature.BeatmapFeatureEmbedder(
+            path_to_yaml="configs/mug/mania_beatmap_features.yaml",
+            embed_dim=16,
+        ).eval()
+    finally:
+        os.chdir(cwd)
+
+    j_mod = BeatmapFeatureEmbedder(path_to_yaml=SCHEMA, embed_dim=16)
+    ids = np.zeros((2, 21), np.int64)
+    ids[0] = np.arange(21)
+    variables = j_mod.init(jax.random.PRNGKey(0), jnp.asarray(ids))
+
+    flat = flatten_params(variables["params"])
+    merged, problems = apply_mappings(
+        to_np(t_mod.state_dict()), embedder_mappings(), flat
+    )
+    assert not problems, problems
+    variables = {"params": unflatten_params(merged)}
+
+    want = t_mod(torch.tensor(ids, dtype=torch.float32))
+    want = want.permute(0, 2, 1).detach().numpy()  # [B,H,F] -> [B,F,H]
+    got = np.asarray(j_mod.apply(variables, jnp.asarray(ids)))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_vae_parity(torch_ref):
+    import jax
+    import jax.numpy as jnp
+
+    from mug_diffusion_tpu.models.autoencoder import AutoencoderKL
+    from mug_diffusion_tpu.utils.checkpoint import (
+        flatten_params, unflatten_params,
+    )
+    from mug_diffusion_tpu.utils.torch_import import (
+        apply_mappings, vae_mappings,
+    )
+
+    torch = torch_ref.torch
+    torch.manual_seed(0)
+    dd = dict(x_channels=16, middle_channels=8, z_channels=16,
+              num_groups=4, channel_mult=[1, 2, 4, 4], num_res_blocks=1)
+    t_mod = torch_ref.vae.AutoencoderKL(
+        ddconfig=dd, lossconfig={"target": "torch.nn.Identity"},
+        kl_weight=0.0,
+    ).eval()
+
+    j_mod = AutoencoderKL(ddconfig=dd, kl_weight=0.0,
+                          lossconfig="__is_first_stage__")
+    x = np.random.default_rng(0).standard_normal((2, 128, 16)).astype(
+        np.float32
+    )
+    variables = j_mod.init(jax.random.PRNGKey(0), jnp.asarray(x),
+                           jax.random.PRNGKey(1))
+
+    flat = flatten_params(variables["params"])
+    merged, problems = apply_mappings(
+        to_np(t_mod.state_dict()), vae_mappings(dd), flat
+    )
+    assert not problems, problems
+    variables = {"params": unflatten_params(merged)}
+
+    with torch.no_grad():
+        t_in = torch.tensor(x.transpose(0, 2, 1))
+        posterior = t_mod.encode(t_in)
+        z_t = posterior.mode()
+        dec_t = t_mod.decode(z_t).numpy().transpose(0, 2, 1)
+
+    post_j = j_mod.apply(variables, jnp.asarray(x),
+                         method=AutoencoderKL.encode)
+    z_j = post_j.mode()
+    np.testing.assert_allclose(
+        np.asarray(z_j), z_t.numpy().transpose(0, 2, 1), atol=2e-4
+    )
+    dec_j = np.asarray(
+        j_mod.apply(variables, z_j, method=AutoencoderKL.decode)
+    )
+    np.testing.assert_allclose(dec_j, dec_t, atol=5e-4)
+
+
+def test_wave_encoder_parity(torch_ref):
+    import jax
+    import jax.numpy as jnp
+
+    from mug_diffusion_tpu.models.wave import MelspectrogramScaleEncoder1D
+    from mug_diffusion_tpu.utils.checkpoint import (
+        flatten_params, unflatten_params,
+    )
+    from mug_diffusion_tpu.utils.torch_import import (
+        apply_mappings, wave_mappings,
+    )
+
+    torch = torch_ref.torch
+    torch.manual_seed(0)
+    # attention level needs channels divisible by the reference's hardcoded
+    # 32-group norm inside ContextualTransformer
+    cfg = dict(n_freq=16, middle_channels=8, attention_resolutions=[4],
+               num_res_blocks=2, num_heads=2, num_groups=4,
+               channel_mult=[1, 1, 4, 4], use_checkpoint=False, dropout=0.0)
+    t_mod = torch_ref.wave.MelspectrogramScaleEncoder1D(**cfg).eval()
+
+    j_mod = MelspectrogramScaleEncoder1D(**cfg)
+    x = np.random.default_rng(0).standard_normal((1, 64, 16)).astype(
+        np.float32
+    )
+    variables = j_mod.init(jax.random.PRNGKey(0), jnp.asarray(x))
+
+    flat = flatten_params(variables["params"])
+    merged, problems = apply_mappings(
+        to_np(t_mod.state_dict()), wave_mappings(cfg), flat
+    )
+    assert not problems, problems
+    variables = {"params": unflatten_params(merged)}
+
+    with torch.no_grad():
+        hs_t = t_mod(torch.tensor(x.transpose(0, 2, 1)))
+    hs_j = j_mod.apply(variables, jnp.asarray(x))
+    assert len(hs_t) == len(hs_j)
+    for ht, hj in zip(hs_t, hs_j):
+        np.testing.assert_allclose(
+            np.asarray(hj), ht.numpy().transpose(0, 2, 1), atol=5e-4
+        )
+
+
+def test_unet_parity(torch_ref):
+    import jax
+    import jax.numpy as jnp
+
+    from mug_diffusion_tpu.models.unet import UNetModel
+    from mug_diffusion_tpu.utils.checkpoint import (
+        flatten_params, unflatten_params,
+    )
+    from mug_diffusion_tpu.utils.torch_import import (
+        apply_mappings, unet_mappings,
+    )
+
+    torch = torch_ref.torch
+    torch.manual_seed(0)
+    cfg = dict(in_channels=16, model_channels=32, out_channels=16,
+               num_res_blocks=1, attention_resolutions=[2],
+               channel_mult=[1, 2], num_heads=4, context_dim=32,
+               s4_layer=True, audio_channels=[32, 32], dropout=0.0)
+    t_mod = torch_ref.unet.UNetModel(**cfg).eval()
+
+    B, T = 2, 32
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((B, T, 16)).astype(np.float32)
+    t = np.asarray([3, 500], np.int64)
+    ctx = rng.standard_normal((B, 21, 32)).astype(np.float32)
+    audios = [
+        rng.standard_normal((B, T, 32)).astype(np.float32),
+        rng.standard_normal((B, T // 2, 32)).astype(np.float32),
+    ]
+
+    with torch.no_grad():
+        # first forward applies the reference's lazy C~ setup
+        # (mug/model/s4.py:557-584); grab the state dict afterwards so the
+        # converted C matches our treat-C-as-learned convention
+        args_t = [
+            torch.tensor(x.transpose(0, 2, 1)),
+            torch.tensor(t),
+            torch.tensor(ctx.transpose(0, 2, 1)),
+            torch.tensor(audios[0].transpose(0, 2, 1)),
+            torch.tensor(audios[1].transpose(0, 2, 1)),
+        ]
+        _ = t_mod(*args_t)
+        want = t_mod(*args_t).numpy().transpose(0, 2, 1)
+
+    j_mod = UNetModel(**cfg)
+    variables = j_mod.init(
+        jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(t),
+        jnp.asarray(ctx), [jnp.asarray(a) for a in audios],
+    )
+    flat = flatten_params(variables["params"])
+    merged, problems = apply_mappings(
+        to_np(t_mod.state_dict()), unet_mappings(cfg), flat
+    )
+    assert not problems, problems
+    variables = {"params": unflatten_params(merged)}
+
+    got = np.asarray(
+        j_mod.apply(variables, jnp.asarray(x), jnp.asarray(t),
+                    jnp.asarray(ctx), [jnp.asarray(a) for a in audios])
+    )
+    np.testing.assert_allclose(got, want, atol=2e-3, rtol=1e-3)
