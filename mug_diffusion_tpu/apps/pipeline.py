@@ -222,6 +222,86 @@ class GenerationPipeline:
         decoded = self.model.decode(self.params, samples)  # [B, T, 16]
         return np.asarray(decoded).transpose(0, 2, 1), z_length
 
+    def warmup(self, buckets=None, count: int = 4, steps: int = 100,
+               scale: float = 5.0):
+        """Precompile the serving executables for the given length buckets
+        (first requests then hit the in-memory + persistent compile cache)."""
+        import numpy as np
+
+        buckets = buckets or self.z_length_buckets
+        for z_length in buckets:
+            mel = np.zeros((self.n_mels, z_length * 64), np.float32)
+            audio1 = jnp.asarray(mel.T[None])
+            feature = self.encode_prompt({}, count)
+            _, w1 = self.model.encode_conditioning(
+                self.params, audio1, feature[:1]
+            )
+            n_levels = len(
+                self.model.model.unet_config["params"]["channel_mult"]
+            )
+            w = [
+                jnp.broadcast_to(wi, (count,) + wi.shape[1:])
+                for wi in list(w1)[-n_levels:]
+            ]
+            c = self.model.cond_output(self.params, feature)
+            uc = self.model.cond_output(self.params, feature)
+            samples, _ = self.sampler.sample(
+                S=steps, c=c, w=w, batch_size=count, params=self.params,
+                shape=(self.model.z_channels, z_length),
+                rng=jax.random.PRNGKey(0),
+                unconditional_guidance_scale=scale,
+                unconditional_conditioning=uc,
+            )
+            self.model.decode(self.params, samples)
+
+    def sample_charts_batched(
+        self,
+        audio_paths: Sequence[str],
+        feature_dicts: Sequence[dict],
+        steps: int = 100,
+        scale: float = 5.0,
+        seed: int = 0,
+    ):
+        """Multi-song batched serving: generate ONE chart per song, with all
+        songs padded to the same length bucket and sampled in a single
+        device batch (the reference serves strictly one song at a time,
+        ref webui.py:277).
+
+        Returns (decoded [n_songs, 4K, T], z_length).
+        """
+        mels = [self.load_mel(p) for p in audio_paths]
+        fitted = [self.fit_length(m) for m in mels]
+        z_length = max(z for _, z in fitted)
+        frames = z_length * (self.max_audio_frame // self.model.z_length)
+        batch = np.stack(
+            [
+                np.pad(m, ((0, 0), (0, frames - m.shape[1])))[:, :frames]
+                for m, _ in fitted
+            ],
+            axis=0,
+        )  # [n, n_mels, frames]
+        audio = jnp.asarray(batch.transpose(0, 2, 1))
+        n = len(audio_paths)
+        feature = self.encode_prompt(list(feature_dicts), n)
+        uc_feature = self.encode_prompt({}, n)
+
+        c, w = self.model.encode_conditioning(self.params, audio, feature)
+        n_levels = len(self.model.model.unet_config["params"]["channel_mult"])
+        w = list(w)[-n_levels:]
+        uc = None
+        if scale != 1.0:
+            uc = self.model.cond_output(self.params, uc_feature)
+
+        samples, _ = self.sampler.sample(
+            S=steps, c=c, w=w, batch_size=n, params=self.params,
+            shape=(self.model.z_channels, z_length),
+            rng=jax.random.PRNGKey(seed),
+            unconditional_guidance_scale=scale,
+            unconditional_conditioning=uc,
+        )
+        decoded = self.model.decode(self.params, samples)
+        return np.asarray(decoded).transpose(0, 2, 1), z_length
+
     # ------------------------------------------------------ serialization
 
     def save_charts(

@@ -146,6 +146,19 @@ def test_generate_inpaint(pipeline, wav_path, tmp_path):
     assert np.isfinite(decoded).all()
 
 
+def test_batched_multi_song(pipeline, wav_path, tmp_path):
+    """Two different songs, one chart each, sampled in a single batch."""
+    import shutil
+
+    wav2 = str(tmp_path / "tone2.wav")
+    shutil.copyfile(wav_path, wav2)
+    decoded, z_length = pipeline.sample_charts_batched(
+        [wav_path, wav2], [{"sr": 2.0}, {"sr": 5.0}], steps=4, scale=2.0,
+    )
+    assert decoded.shape == (2, 16, z_length * 8)
+    assert np.isfinite(decoded).all()
+
+
 def test_chart2prompt(tmp_path):
     from mug_diffusion_tpu.apps.invert import chart_to_prompt
 
