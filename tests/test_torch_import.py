@@ -206,6 +206,104 @@ def test_wave_encoder_parity(torch_ref):
         )
 
 
+def test_full_ddpm_checkpoint_conversion(torch_ref):
+    """Build the reference DDPM wrapper (torch), convert its full state_dict
+    via convert_reference_checkpoint (the user path), and check the VAE
+    decode branch matches — exercising the model.* key prefixes end to end."""
+    import jax
+    import jax.numpy as jnp
+
+    from mug_diffusion_tpu.utils.config import instantiate_from_config
+    from mug_diffusion_tpu.utils.torch_import import (
+        convert_reference_checkpoint,
+    )
+
+    torch = torch_ref.torch
+    torch.manual_seed(0)
+
+    dd = dict(x_channels=16, middle_channels=8, z_channels=16,
+              num_groups=4, channel_mult=[1, 2, 4, 4], num_res_blocks=1)
+    unet_cfg = dict(in_channels=16, model_channels=32, out_channels=16,
+                    num_res_blocks=1, attention_resolutions=[2],
+                    channel_mult=[1, 2], num_heads=4, context_dim=32,
+                    s4_layer=False, audio_channels=[32, 32], dropout=0.0)
+    # wave scale channels must equal the unet's audio_channels (32)
+    wave_cfg = dict(n_freq=16, middle_channels=32, attention_resolutions=[],
+                    num_res_blocks=1, num_heads=2, num_groups=4,
+                    channel_mult=[1, 1, 1, 1, 1, 1, 1, 1],
+                    use_checkpoint=False, dropout=0.0)
+
+    # reference wrapper (torch); construct children directly to avoid the
+    # reference's reflection machinery
+    t_unet = torch_ref.unet.UNetModel(**unet_cfg).eval()
+    t_vae = torch_ref.vae.AutoencoderKL(
+        ddconfig=dd, lossconfig={"target": "torch.nn.Identity"}, kl_weight=0.0
+    ).eval()
+    t_wave = torch_ref.wave.MelspectrogramScaleEncoder1D(**wave_cfg).eval()
+    cwd = os.getcwd()
+    os.chdir(REF)
+    try:
+        t_emb = torch_ref.feature.BeatmapFeatureEmbedder(
+            path_to_yaml="configs/mug/mania_beatmap_features.yaml",
+            embed_dim=32,
+        ).eval()
+    finally:
+        os.chdir(cwd)
+
+    wrapper = torch.nn.Module()
+    inner = torch.nn.Module()
+    inner.unet_model = t_unet
+    inner.first_stage_model = t_vae
+    inner.wave_model = t_wave
+    inner.cond_stage_model = t_emb
+    wrapper.model = inner
+    sd = to_np(wrapper.state_dict())  # keys: model.unet_model.* etc.
+
+    model_config = dict(
+        target="mug_diffusion_tpu.diffusion.ddpm.DDPM",
+        params=dict(
+            timesteps=100, z_channels=16, z_length=8,
+            parameterization="eps", loss_type="smooth_l1",
+            unet_config=dict(
+                target="mug_diffusion_tpu.models.unet.UNetModel",
+                params=unet_cfg,
+            ),
+            first_stage_config=dict(
+                target="mug_diffusion_tpu.models.autoencoder.AutoencoderKL",
+                params=dict(ddconfig=dd, kl_weight=0.0,
+                            lossconfig="__is_first_stage__"),
+            ),
+            cond_stage_config=dict(
+                target="mug_diffusion_tpu.models.feature.BeatmapFeatureEmbedder",
+                params=dict(path_to_yaml=SCHEMA, embed_dim=32),
+            ),
+            wave_stage_config=dict(
+                target="mug_diffusion_tpu.models.wave.MelspectrogramScaleEncoder1D",
+                params=wave_cfg,
+            ),
+        ),
+    )
+    ddpm = instantiate_from_config(model_config)
+    # 8 wave levels - 2 unet levels = 6 -> mel length = z * 2^6
+    target = ddpm.init_params(
+        jax.random.PRNGKey(0),
+        {"batch": 1, "z_length": 8, "n_mels": 16, "mel_length": 8 * 64,
+         "num_features": 21},
+    )
+    variables = convert_reference_checkpoint(sd, model_config, target,
+                                             strict=True)
+
+    # check the decode branch end to end through our DDPM API
+    rng = np.random.default_rng(0)
+    z = rng.standard_normal((1, 8, 16)).astype(np.float32)
+    with torch.no_grad():
+        dec_t = t_vae.decode(torch.tensor(z.transpose(0, 2, 1)))
+    dec_j = np.asarray(ddpm.decode(variables, jnp.asarray(z)))
+    np.testing.assert_allclose(
+        dec_j, dec_t.numpy().transpose(0, 2, 1), atol=5e-4
+    )
+
+
 def test_unet_parity(torch_ref):
     import jax
     import jax.numpy as jnp
