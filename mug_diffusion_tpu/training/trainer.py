@@ -229,10 +229,16 @@ class Trainer:
             donate_argnums=(0, 1),
         )
 
-        def val_step(params, batch, rng, batch_idx):
-            return task.validation_metrics(params, batch, rng, batch_idx)
+        # jitted with the noise-decile level static (10 variants max);
+        # eager flax dispatch would also materialize complex S4 constants
+        # on-device, which the remote-TPU tunnel cannot transfer
+        import functools
 
-        self._val_step = val_step  # jit per batch_idx level inside
+        @functools.partial(jax.jit, static_argnums=(3,))
+        def val_step(params, batch, rng, level):
+            return task.validation_metrics(params, batch, rng, level)
+
+        self._val_step = val_step
 
     # ---------------------------------------------------------------- fit
 
@@ -330,7 +336,9 @@ class Trainer:
             dev_batch = self._device_batch(batch)
             # deterministic per-batch seed (ref: diffusion.py:434-436)
             rng = jax.random.PRNGKey(hash(str(batch_idx)) % (2 ** 31))
-            metrics = self._val_step(self.params, dev_batch, rng, batch_idx)
+            metrics = self._val_step(
+                self.params, dev_batch, rng, batch_idx % 10
+            )
             metrics = jax.device_get(metrics)
             for k, v in metrics.items():
                 all_metrics.setdefault(k, []).append(float(v))
