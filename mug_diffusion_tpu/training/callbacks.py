@@ -58,9 +58,15 @@ class BeatmapLogger:
         save_root = os.path.join(
             trainer.logdir, "beatmaps", str(self.log_index)
         )
+        # name intermediates by their actual diffusion timestep
+        T = ddpm.num_timesteps
+        log_ts = [
+            i for i in range(T - 1, -1, -1)
+            if i % ddpm.log_every_t == 0 or i == T - 1
+        ]
         decoded = [
-            (np.asarray(ddpm.decode(trainer.params, z)) * valid, t_idx)
-            for t_idx, z in enumerate(np.asarray(intermediates))
+            (np.asarray(ddpm.decode(trainer.params, z)) * valid, t_step)
+            for t_step, z in zip(log_ts, np.asarray(intermediates))
         ]
         metas = batch.get("meta", [])
         convs = batch.get("convertor", [])
