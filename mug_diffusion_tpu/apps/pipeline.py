@@ -18,7 +18,7 @@ import os
 import shutil
 import subprocess
 import zipfile
-from typing import Dict, List, Optional, Sequence
+from typing import List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp

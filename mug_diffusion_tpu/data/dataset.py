@@ -21,7 +21,7 @@ import os
 import random
 import sqlite3
 from concurrent.futures import ThreadPoolExecutor
-from typing import Iterator, List, Optional
+from typing import Iterator, List
 
 import numpy as np
 import yaml

@@ -16,7 +16,6 @@ the reference recomputes its schedule per call (ddim.py:85); we memoize.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Tuple
 
 import jax

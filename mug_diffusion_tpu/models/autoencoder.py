@@ -9,7 +9,7 @@ channels; ``decode`` maps latents back to logits over the 16 note planes.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -28,7 +28,7 @@ scratch, C is treated directly as the learned parameter.
 from __future__ import annotations
 
 import math
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

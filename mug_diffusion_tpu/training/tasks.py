@@ -9,7 +9,7 @@ configure_optimizers, mug/firststage/autoencoder.py AutoencoderKL.step).
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

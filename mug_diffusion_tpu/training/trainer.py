@@ -20,7 +20,6 @@ import traceback
 from typing import Any, Dict, List, Optional
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 import optax
 

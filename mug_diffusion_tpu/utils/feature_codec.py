@@ -10,7 +10,7 @@ index 0 always means "missing" (prompt dropout / unconditional branch).
 from __future__ import annotations
 
 import math
-from typing import List, Optional
+from typing import List
 
 import yaml
 
