@@ -100,3 +100,36 @@ def test_rate_scaling_increases_difficulty():
 def test_empty_and_tiny_inputs():
     assert list(minacalc.calc_skill_set(1.0, [])) == [0.0] * 8
     assert list(minacalc.calc_skill_set(1.0, [(1000, 0)])) == [0.0] * 8
+
+
+# golden values produced by the reference MinaCalc extension (built from
+# /root/reference/scripts/MinaCalc-1.0.tar.gz) on a seeded 170 BPM stream
+# chart at four music rates; our reimplementation must stay within 0.5 MSD
+REFERENCE_RATE_GOLDENS = {
+    0.8: [13.621, 13.357, 7.600, 6.795, 11.783, 8.275, 7.189, 13.621],
+    1.0: [16.302, 15.861, 8.955, 8.167, 13.897, 10.291, 8.570, 16.302],
+    1.2: [18.814, 17.836, 10.103, 9.279, 15.962, 12.298, 9.790, 18.814],
+    1.5: [23.510, 21.652, 12.290, 11.380, 19.438, 15.530, 12.075, 23.510],
+}
+
+
+def _golden_chart():
+    rng = random.Random(7)
+    notes = []
+    t = 1000.0
+    gap = 60000.0 / 170 / 4
+    last = -1
+    for _ in range(500):
+        c = rng.choice([x for x in range(4) if x != last])
+        last = c
+        notes.append((int(t), c))
+        t += gap
+    return notes
+
+
+def test_reference_goldens_across_rates():
+    notes = _golden_chart()
+    for rate, want in REFERENCE_RATE_GOLDENS.items():
+        got = minacalc.calc_skill_set(rate, notes)
+        for g, w in zip(got, want):
+            assert abs(g - w) < 0.5, (rate, got, want)
