@@ -29,8 +29,17 @@
 //     (timing-checked jumptrillables), FlamJam (flam group sequencing)
 //     [Dependent/HD_PatternMods/*.h, Agnostic/HA_PatternMods/FlamJam.h]
 //
-// RunningMan and TheThing1/2 evaluate to neutral 1.0 for now (the reference's
-// RollMod is itself a no-op); their slots are plumbed for later rounds.
+//   * RunningMan sequencing + mod [Dependent/HD_Sequencers/RMSequencing.h,
+//     HD_PatternMods/RunningMan.h] and TheThing1/2 jumptrillable detection
+//     [Agnostic/HA_Sequencers/ThingSequencing.h] — fully implemented
+//
+// Parity: <=0.05 MSD per skillset and 100% dominant-pattern-flag agreement
+// vs the reference extension across a 30-chart x 7-rate corpus
+// (tests/test_minacalc.py::test_parity_corpus_msd_within_005), including
+// reference quirks preserved on purpose: int-abs truncation in ChaosMod,
+// double left-hand smoothing, cc_taps zeroed before OHJ/CJOHJ evaluation,
+// and the approximate fastpow in Chisel point-loss. (RollMod is a no-op in
+// the reference and stays neutral here.)
 
 #include <algorithm>
 #include <array>
@@ -88,6 +97,19 @@ static inline float MsToScaledNps(float ms) { return MsToNps(ms) * kFinalScaler;
 
 static inline int ColumnCount(unsigned notes) {
   return __builtin_popcount(notes & 0xFu);
+}
+
+// Approximate pow via exponent-bit manipulation, matching the reference's
+// fastpow exactly [PatternModHelpers.h:15-25] ("significantly inaccurate" by
+// its own admission, but it shapes every Chisel point-loss curve, so parity
+// requires the same approximation bit-for-bit).
+static inline float FastPow(double a, double b) {
+  int u[2];
+  std::memcpy(&u, &a, sizeof a);
+  u[1] = static_cast<int>(b * (u[1] - 1072632447) + 1072632447);
+  u[0] = 0;
+  std::memcpy(&a, &u, sizeof a);
+  return static_cast<float>(a);
 }
 static inline bool IsSingleTap(unsigned a) { return (a & (a - 1)) == 0; }
 
@@ -946,7 +968,11 @@ struct ChaosMod {
     float prop = std::max(a, b) / std::min(a, b);
     float flop = prop - static_cast<float>(static_cast<int>(prop));
     if (flop == 0.f) flop = 1.f;
-    else if (flop >= 0.5f) flop = std::abs(flop - 1.f) + 1.f;
+    // NOTE: the reference writes `flop = abs(flop - 1.F) + 1.F` with the
+    // *integer* abs() (Chaos.h:65 — no std::), which truncates the negative
+    // fraction to 0, so any flop >= 0.5 collapses to exactly 1.0. Verified
+    // against an instrumented reference build; preserve the quirk.
+    else if (flop >= 0.5f) flop = 1.f;
     else flop += 1.f;
     u.push(flop);
     wot.push(u.mean_of(6));
@@ -1202,14 +1228,11 @@ struct AnchorSeq {
   }
 
   void advance(float now) {
+    // no first-note special case: the reference runs the too-slow/too-fast
+    // checks from the very first tap (sc_ms is huge vs ms_init, so the
+    // first note lands in reset_too_slow with len=2, start=s_init)
+    // [GenericSequencing.h Anchor_Sequencing::operator()]
     sc_ms = MsFrom(now, last);
-    if (init) {
-      init = false;
-      last = now;
-      max_ms = sc_ms;
-      status = kAnchInit;
-      return;
-    }
     if (sc_ms > max_ms + 10.f || sc_ms * 2.34f < max_ms) {
       start = last;
       len = 2;
@@ -1536,7 +1559,10 @@ static float WideRangeAnchorMod(const ItvHandInfo& itvhi,
   if (a == 0 || b == 0) return 1.05f;
   if (diff <= 4) return 1.f;
   if (diff > 8) return 1.05f;
-  return 1.f + 0.1f * ((static_cast<float>(diff) - 4.f) / 4.f);
+  // formula result is clamped to [min_mod, max_mod]; at diff == diff_max the
+  // unclamped value is 1.1 but the reference clamps to 1.05 [WideRangeAnchor.h]
+  return Clamp(1.f + 0.1f * ((static_cast<float>(diff) - 4.f) / 4.f), 1.f,
+               1.05f);
 }
 
 // techyo [SequencedBaseDiffCalc.h]
@@ -1581,16 +1607,15 @@ struct TechBase {
   }
 
   float itv_diff(float nps_base) const {
-    float tc_part;
-    if (row_counter == 0) {
-      tc_part = std::max(0.f, nps_base * 4.f / 9.f);
-    } else {
+    // tc base is 0 for an interval with no rows on this hand [techyo
+    // get_tc_base], and still enters the 4:9 weighted average with nps
+    float tc = 0.f;
+    if (row_counter > 0) {
       float total = 0.f;
       for (int i = 0; i < row_counter; ++i) total += tc_static[i];
-      float ms_mean = total / static_cast<float>(row_counter);
-      float tc = MsToScaledNps(ms_mean);
-      tc_part = (4.f * tc + 5.f * nps_base) / 9.f;  // weighted_average 4:9
+      tc = MsToScaledNps(total / static_cast<float>(row_counter));
     }
+    float tc_part = (4.f * tc + 5.f * nps_base) / 9.f;  // weighted_average 4:9
     // merge with the runningman anchor difficulty [techyo get_itv_diff]
     return std::max(tc_part, rm_itv_max_diff);
   }
@@ -1735,8 +1760,11 @@ static void RunPatternMods(Calc& c) {
       itvhi.interval_end();
       seq.interval_end();
 
-      int cc_taps =
-          base_type_counts[kBaseLeftRight] + base_type_counts[kBaseRightLeft];
+      // NOTE: the reference zeroes _base_types in _mitvhi.interval_end()
+      // BEFORE set_dependent_pmods runs (Ulbu.h:287-293,
+      // MetaIntervalHandInfo.h:12), so OHJ/CJOHJ always read cc_taps == 0
+      // and their weighted-average branch is dead code. Preserve that.
+      const int cc_taps = 0;
       c.doot[h][kPmOHJump][itv] = ohj(itvhi, cc_taps);
       c.doot[h][kPmCJOHJump][itv] = cjohj(itvhi, cc_taps);
       c.doot[h][kPmOHTrill][itv] = oht(itvhi);
@@ -1754,11 +1782,17 @@ static void RunPatternMods(Calc& c) {
       tech.interval_end();
     }
     // dependent smoothing pass [UlbuAcolytes.h run_dependent_smoothing_pass]
+    // NOTE: the reference smooths BOTH hands' arrays at the end of EACH
+    // hand's loop (Ulbu.h run_dependent_pmod_loop calls
+    // run_dependent_smoothing_pass inside the hand loop, and that pass
+    // iterates `for (auto& h : calc.doot)`) — so the left hand is smoothed
+    // twice and the right hand once. Preserve that behavior exactly.
     for (int p : {kPmOHJump, kPmBalance, kPmRoll, kPmOHTrill, kPmVOHTrill,
                   kPmChaos, kPmWideRangeBalance, kPmWideRangeRoll,
                   kPmWideRangeJumptrill, kPmWideRangeAnchor, kPmRanMan,
                   kPmCJOHJump})
-      Smooth(c.doot[h][p], 1.f, c.numitv);
+      for (int hh = 0; hh < kNumHands; ++hh)
+        Smooth(c.doot[hh][p], 1.f, c.numitv);
   }
 }
 
@@ -1815,7 +1849,7 @@ static void InitAdjDiff(Calc& c) {
             break;
           case kTechnical:
             adj = c.tech_base[h][i] * tp_mods[ss] * kBaseScalers[ss] /
-                  std::max(c.doot[h][kPmCJ][i] * c.doot[h][kPmCJ][i], 1.f) /
+                  std::max(FastPow(c.doot[h][kPmCJ][i], 2.f), 1.f) /
                   std::sqrt(c.doot[h][kPmOHJump][i]);
             break;
           default:
@@ -1898,7 +1932,7 @@ static void CalcInternal(float& gotpoints, float x, int ss, bool stam, Calc& c,
   for (int i = 0; i < c.numitv; ++i) {
     if (x < v[i]) {
       float pts = static_cast<float>(c.itv_points[h][i]);
-      gotpoints -= (pts - pts * std::pow(x / v[i], 1.7f));
+      gotpoints -= (pts - pts * FastPow(x / v[i], 1.7f));
     }
   }
 }
@@ -2075,10 +2109,103 @@ static PyObject* method_calc_skill_set(PyObject*, PyObject* args) {
   return out;
 }
 
+static PyObject* VecToList(const std::vector<float>& v, int n) {
+  PyObject* l = PyList_New(n);
+  for (int i = 0; i < n; ++i)
+    PyList_SetItem(l, i, PyFloat_FromDouble(i < (int)v.size() ? v[i] : 0.f));
+  return l;
+}
+
+// calc_debug(rate, notes[, goal]) -> dict of per-interval internals.
+// Mirrors the reference Calc's doot/soap/base_adj_diff storage so parity
+// tooling (scripts/minacalc_parity.py --debug) can diff interval-by-interval.
+static PyObject* method_calc_debug(PyObject*, PyObject* args) {
+  float rate = 0.f, score_goal = mina::kDefaultScoreGoal;
+  PyObject* note_buff = nullptr;
+  if (!PyArg_ParseTuple(args, "fO|f", &rate, &note_buff, &score_goal))
+    return nullptr;
+  Py_ssize_t size = PyList_Size(note_buff);
+  std::vector<mina::NoteInfo> rows;
+  rows.reserve(size);
+  long current_time = -1;
+  unsigned current_notes = 0;
+  for (Py_ssize_t i = 0; i < size; ++i) {
+    PyObject* tup = PyList_GetItem(note_buff, i);
+    long time_ms = PyLong_AsLong(PyTuple_GetItem(tup, 0));
+    long column = PyLong_AsLong(PyTuple_GetItem(tup, 1));
+    if (current_time != time_ms) {
+      if (current_notes != 0) {
+        rows.push_back({current_notes, current_time / 1000.f});
+        current_notes = 0;
+      }
+      current_time = time_ms;
+    }
+    current_notes |= 1u << column;
+  }
+  if (current_notes != 0)
+    rows.push_back({current_notes, current_time / 1000.f});
+
+  std::vector<float> zeros(mina::kNumSkillsets, 0.f);
+  mina::Calc c;
+  std::vector<float> ssr = zeros;
+  bool skip = rows.size() <= 1 || mina::WalkRows(rows, rate, c);
+  if (!skip) {
+    mina::RunPatternMods(c);
+    mina::InitAdjDiff(c);
+    ssr = mina::CalcSkillSets(rows, rate, score_goal);
+  }
+
+  PyObject* out = PyDict_New();
+  PyObject* pssr = PyList_New(ssr.size());
+  for (size_t i = 0; i < ssr.size(); ++i)
+    PyList_SetItem(pssr, i, PyFloat_FromDouble(ssr[i]));
+  PyDict_SetItemString(out, "ssr", pssr);
+  PyDict_SetItemString(out, "numitv", PyLong_FromLong(skip ? 0 : c.numitv));
+  int n = skip ? 0 : c.numitv;
+  PyObject* doot = PyList_New(2);
+  PyObject* soap = PyList_New(2);
+  PyObject* badj = PyList_New(2);
+  PyObject* itvpts = PyList_New(2);
+  PyObject* jackd = PyList_New(2);
+  for (int h = 0; h < 2; ++h) {
+    PyObject* dl = PyList_New(mina::kNumPMods);
+    for (int m = 0; m < mina::kNumPMods; ++m)
+      PyList_SetItem(dl, m, VecToList(c.doot[h][m], n));
+    PyList_SetItem(doot, h, dl);
+    // soap layout mirrors ref CalcDiffValue order: NPSBase, TechBase
+    PyObject* sl = PyList_New(2);
+    PyList_SetItem(sl, 0, VecToList(c.nps_base[h], n));
+    PyList_SetItem(sl, 1, VecToList(c.tech_base[h], n));
+    PyList_SetItem(soap, h, sl);
+    PyObject* bl = PyList_New(mina::kNumSkillsets);
+    for (int m = 0; m < mina::kNumSkillsets; ++m)
+      PyList_SetItem(bl, m, VecToList(c.base_adj_diff[h][m], n));
+    PyList_SetItem(badj, h, bl);
+    PyObject* pl = PyList_New(n);
+    for (int i = 0; i < n; ++i)
+      PyList_SetItem(pl, i, PyLong_FromLong(c.itv_points[h][i]));
+    PyList_SetItem(itvpts, h, pl);
+    PyObject* jl = PyList_New(c.jack_diff[h].size());
+    for (size_t i = 0; i < c.jack_diff[h].size(); ++i)
+      PyList_SetItem(jl, i,
+                     PyTuple_Pack(2, PyFloat_FromDouble(c.jack_diff[h][i].first),
+                                  PyFloat_FromDouble(c.jack_diff[h][i].second)));
+    PyList_SetItem(jackd, h, jl);
+  }
+  PyDict_SetItemString(out, "doot", doot);
+  PyDict_SetItemString(out, "soap", soap);
+  PyDict_SetItemString(out, "base_adj_diff", badj);
+  PyDict_SetItemString(out, "itv_points", itvpts);
+  PyDict_SetItemString(out, "jack_diff", jackd);
+  return out;
+}
+
 static PyMethodDef MinaCalcMethods[] = {
     {"version", method_version, METH_VARARGS, "MinaCalc version"},
     {"calc_skill_set", method_calc_skill_set, METH_VARARGS,
      "Calculate the 8 MSD skillset ratings for a 4K note list"},
+    {"calc_debug", method_calc_debug, METH_VARARGS,
+     "Return per-interval internals (pattern mods, base diffs) for debugging"},
     {nullptr, nullptr, 0, nullptr}};
 
 static struct PyModuleDef minacalc_module = {

@@ -104,9 +104,7 @@ def test_empty_and_tiny_inputs():
 
 # golden values produced by the reference MinaCalc extension (built from
 # /root/reference/scripts/MinaCalc-1.0.tar.gz) on a seeded 170 BPM stream
-# chart at four music rates; our reimplementation must stay within
-# max(0.6, 4%) MSD (residual differences come from CalcMovingWindow seeding
-# details in the tech base)
+# chart at four music rates
 REFERENCE_RATE_GOLDENS = {
     0.8: [13.621, 13.357, 7.600, 6.795, 11.783, 8.275, 7.189, 13.621],
     1.0: [16.302, 15.861, 8.955, 8.167, 13.897, 10.291, 8.570, 16.302],
@@ -134,4 +132,54 @@ def test_reference_goldens_across_rates():
     for rate, want in REFERENCE_RATE_GOLDENS.items():
         got = minacalc.calc_skill_set(rate, notes)
         for g, w in zip(got, want):
-            assert abs(g - w) < max(0.6, 0.04 * w), (rate, got, want)
+            assert abs(g - w) < 0.05, (rate, got, want)
+
+
+# ----------------------------------------------------------------------
+# Full parity corpus: 30 realistic synthetic charts (streams, jumpstream,
+# handstream, jacks, chordjack, tech, mixed, LN-dense, bursts, anchors —
+# with tempo drift and chords) x 7 music rates, pinned against the
+# reference extension to <=0.05 MSD per skillset, plus 100%
+# dominant-pattern-flag agreement (the training-label threshold used by
+# mug_diffusion_tpu/data/dataset.py).  Regenerate the golden with
+# scripts/minacalc_parity.py --dump-golden.
+
+
+def _load_corpus_golden():
+    import json
+    from pathlib import Path
+
+    p = Path(__file__).parent / "goldens" / "minacalc_corpus.json"
+    return json.loads(p.read_text())
+
+
+def _dominance_flags(v):
+    pats = [v[1], v[2], v[3], v[5], v[6], v[7]]
+    m = max(pats)
+    return tuple(p >= m - 1.0 for p in pats)
+
+
+def test_parity_corpus_msd_within_005():
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).parent.parent / "scripts"))
+    from minacalc_parity import make_corpus
+
+    golden = _load_corpus_golden()
+    corpus = make_corpus()
+    assert set(corpus) == set(golden["msd"])
+    worst = 0.0
+    flags_total = flags_agree = 0
+    for name, notes in corpus.items():
+        for rate in golden["rates"]:
+            got = minacalc.calc_skill_set(rate, notes)
+            want = golden["msd"][name][str(rate)]
+            for g, w in zip(got, want):
+                worst = max(worst, abs(g - w))
+            fa, fb = _dominance_flags(got), _dominance_flags(want)
+            flags_total += len(fa)
+            flags_agree += sum(x == y for x, y in zip(fa, fb))
+    assert worst <= 0.05, f"worst MSD diff {worst}"
+    assert flags_agree == flags_total, (
+        f"dominance flags disagree: {flags_agree}/{flags_total}")
