@@ -28,6 +28,7 @@ from mug_diffusion_tpu.training.callbacks import BeatmapLogger
 from mug_diffusion_tpu.training.datamodule import DataModuleFromConfig
 from mug_diffusion_tpu.training.tasks import build_task
 from mug_diffusion_tpu.training.trainer import Trainer
+from mug_diffusion_tpu.utils.seed import seed_everything
 from mug_diffusion_tpu.utils.config import (
     apply_dotlist,
     instantiate_from_config,
@@ -91,6 +92,10 @@ def main(argv=None):
     model_config = config["model"]
     data_config = config["data"]
     lightning_config = config.get("lightning", {})
+
+    # global determinism: Python/NumPy RNGs + PYTHONHASHSEED
+    # (ref: Lightning seed_everything, main.py:525)
+    seed_everything(opt.seed)
 
     task = build_task(model_config)
     data: DataModuleFromConfig = instantiate_from_config(data_config)

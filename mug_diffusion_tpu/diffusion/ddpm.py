@@ -60,9 +60,24 @@ class MugDiffusionWrapper(nn.Module):
     def __call__(self, x, t, c, w, deterministic: bool = True):
         """Denoise: w is the wave encoder's full multi-scale list; the U-Net
         consumes the deepest len(channel_mult) scales (ref unet.py:527-546
-        indexes audios[-4..-1])."""
+        indexes audios[-4..-1]).
+
+        Single-scale encoders (STFTEncoder, ref configs/mug/
+        mug_diffusion_stft.yaml — wave concatenated at the input level only,
+        in_channels 544 = 512 + 32) produce one tensor; it feeds level 0 and
+        deeper levels get zero-channel placeholders (concat no-ops), with
+        audio_channels like [512, 0, 0, 0]."""
         n_levels = len(self.unet_model.channel_mult)
-        audios = list(w)[-n_levels:]
+        if not isinstance(w, (list, tuple)):
+            w = [w]
+        if len(w) >= n_levels:
+            audios = list(w)[-n_levels:]
+        else:
+            audios = list(w)
+            while len(audios) < n_levels:
+                prev = audios[-1]
+                audios.append(jnp.zeros(
+                    (prev.shape[0], prev.shape[1] // 2, 0), prev.dtype))
         return self.unet_model(x, t, c, audios, deterministic)
 
     def full_init(self, note, audio, feature, deterministic: bool = True):
@@ -173,12 +188,21 @@ class DDPM:
         z_len = spec.get("z_length", 64)
         n_mels = spec.get("n_mels", 128)
         ratio = spec.get("audio_note_window_ratio", 8)
-        note_len = z_len * 8  # VAE is 8x in time
+        ddcfg = self.model.first_stage_config["params"]["ddconfig"]
+        # VAE time downsample = 2^(levels-1); 8x in the live config
+        vae_down = 2 ** (len(ddcfg["channel_mult"]) - 1)
+        note_len = z_len * vae_down
         mel_len = spec.get("mel_length", note_len * ratio)
         n_feats = spec.get("num_features", 21)
 
-        note = jnp.zeros((B, note_len, self.model.unet_config["params"]["in_channels"]))
-        audio = jnp.zeros((B, mel_len, n_mels))
+        note = jnp.zeros((B, note_len, ddcfg["x_channels"]))
+        wave_cfg = self.model.wave_stage_config
+        if wave_cfg["target"].endswith("STFTEncoder"):
+            # raw STFT input [B, T, n_fft/2+1, 2] (real/imag)
+            n_fft = wave_cfg["params"]["n_fft"]
+            audio = jnp.zeros((B, mel_len, n_fft // 2 + 1, 2))
+        else:
+            audio = jnp.zeros((B, mel_len, n_mels))
         feature = jnp.zeros((B, n_feats), jnp.int32)
 
         # jit the whole init: flax init otherwise dispatches op-by-op, which

@@ -333,8 +333,10 @@ class Trainer:
         all_metrics: Dict[str, list] = {}
         for batch_idx, batch in enumerate(val_loader):
             dev_batch = self._device_batch(batch)
-            # deterministic per-batch seed (ref: diffusion.py:434-436)
-            rng = jax.random.PRNGKey(hash(str(batch_idx)) % (2 ** 31))
+            # deterministic per-batch seed (ref: diffusion.py:434-436).
+            # Derived from the trainer seed + batch index — stable across
+            # processes and reruns (str hash() is salted per process).
+            rng = jax.random.fold_in(jax.random.PRNGKey(self.seed), batch_idx)
             metrics = self._val_step(
                 self.params, dev_batch, rng, batch_idx % 10
             )

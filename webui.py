@@ -25,6 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from mug_diffusion_tpu.apps.invert import chart_to_prompt
 from mug_diffusion_tpu.apps.pipeline import GenerationPipeline
 from mug_diffusion_tpu.utils.config import load_config
+from mug_diffusion_tpu.utils.seed import seed_everything
 
 try:
     import gradio as gr
@@ -142,6 +143,8 @@ def build_ui(pipeline: GenerationPipeline, template_path: str):
         seed = int(seed)
         if seed < 0:
             seed = random.randint(1, 100000000)
+        # seed all host RNGs like the reference webui (ref: webui.py:301-307)
+        seed_everything(seed)
 
         feature_dict, h_dict = generate_feature_dict(
             rss, rs, srs, sr, etts, ett, cjs, cj, cjss, cjsc, stas, sta,
