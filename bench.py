@@ -61,9 +61,7 @@ def main():
     wave_dev = jnp.asarray(wave)  # one 16 MB host->device transfer
     n_unet_levels = 4
 
-    def generate(seed):
-        # mel + wave features stay on-device; the audio is identical for all
-        # samples, so encode at batch 1 and broadcast the (small) deep scales
+    def make_conditioning():
         mel = melspectrogram_on_device(wave_dev, max_frames=mel_frames)
         audio1 = mel.T[None]  # [1, T, 128]
         _, w1 = ddpm.encode_conditioning(params, audio1, feature[:1])
@@ -73,6 +71,12 @@ def main():
         ]
         c = ddpm.cond_output(params, feature)
         uc = ddpm.cond_output(params, uc_feature)
+        return c, w, uc, audio1
+
+    def generate(seed):
+        # mel + wave features stay on-device; the audio is identical for all
+        # samples, so encode at batch 1 and broadcast the (small) deep scales
+        c, w, uc, _ = make_conditioning()
         samples, _ = sampler.sample(
             S=steps, c=c, w=w, batch_size=count, params=params,
             shape=(16, z_length), rng=jax.random.PRNGKey(seed),
@@ -81,21 +85,86 @@ def main():
         decoded = ddpm.decode(params, samples)
         return np.asarray(decoded)
 
+    def analytic_flops():
+        """XLA-estimated FLOPs for one full generation: S x U-Net (CFG 2x
+        batch) + wave encoder + VAE decode."""
+
+        def cost(fn, *args):
+            comp = jax.jit(fn).lower(*args).compile()
+            ca = comp.cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0]
+            return float(ca.get("flops", 0.0))
+
+        c, w, uc, audio1 = make_conditioning()
+        x = jnp.zeros((2 * count, z_length, 16))
+        tt = jnp.zeros((2 * count,), jnp.int32)
+        c2 = jnp.concatenate([uc, c], axis=0)
+        w2 = [jnp.concatenate([wi, wi], axis=0) for wi in w]
+        unet = cost(
+            lambda p, x, t, c, w: ddpm.apply_model(p, x, t, c, w),
+            params, x, tt, c2, w2,
+        )
+        wave = cost(
+            lambda p, a: ddpm.model.apply(p, a, method=type(ddpm.model).wave_output),
+            params, audio1,
+        )
+        z = jnp.zeros((count, z_length, 16))
+        dec = cost(
+            lambda p, z: ddpm.model.apply(p, z, method=type(ddpm.model).decode),
+            params, z,
+        )
+        return steps * unet + wave + dec
+
+    # fused single-dispatch serving path: whole generation (mel -> wave ->
+    # prompt -> 100-step CFG scan -> decode) is ONE executable; schedule
+    # tables are baked-in constants, so a call is one dispatch + one readback
+    from mug_diffusion_tpu.apps.serving import build_fused_generate
+
+    fused = build_fused_generate(
+        ddpm, steps=steps, scale=scale, count=count, z_length=z_length,
+    )
+
+    def generate_fused(seed):
+        return np.asarray(
+            fused(params, wave_dev, feature, uc_feature,
+                  jax.random.PRNGKey(seed))
+        )
+
     # warmup (compile)
     t0 = time.time()
-    out = generate(0)
+    out = generate_fused(0)
     warm = time.time() - t0
 
     # timed runs
     times = []
     for i in range(3):
         t0 = time.time()
-        out = generate(i + 1)
+        out = generate_fused(i + 1)
         times.append(time.time() - t0)
     best = min(times)
 
+    # modular (multi-dispatch) path for comparison
+    generate(0)
+    t0 = time.time()
+    generate(1)
+    modular_s = time.time() - t0
+
     assert out.shape == (count, z_length * 8, 16)
     assert np.isfinite(out).all()
+
+    # MFU: XLA-estimated FLOPs / wall time / chip peak.
+    # TPU v5e peak: 197 TFLOP/s bf16 (scaling-book hardware table).
+    try:
+        total_flops = analytic_flops()
+    except Exception:
+        total_flops = None
+    dev_kind = jax.devices()[0].device_kind.lower()
+    peak = 1.97e14 if ("v5 lite" in dev_kind or "v5e" in dev_kind) else None
+    mfu = (
+        round(total_flops / best / peak, 4)
+        if (total_flops and peak) else None
+    )
 
     result = {
         "metric": "e2e_generation_4charts_3min_100steps_cfg",
@@ -112,6 +181,12 @@ def main():
                     "runs_s": [round(x, 3) for x in times],
                     "unet_steps_per_sec": round(steps / best, 2),
                     "charts_per_min_per_chip": round(count / best * 60, 1),
+                    "modular_path_s": round(modular_s, 3),
+                    "compute_dtype": str(ddpm.compute_dtype.__name__),
+                    "total_gflops_per_generation": (
+                        round(total_flops / 1e9, 1) if total_flops else None
+                    ),
+                    "mfu": mfu,
                     "backend": jax.default_backend(),
                     "device": str(jax.devices()[0]),
                 }

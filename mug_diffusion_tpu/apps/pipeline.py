@@ -87,6 +87,23 @@ class GenerationPipeline:
                     )
                 }
 
+    def _fused(self, steps: int, scale: float, count: int, z_length: int):
+        """Cached fused single-dispatch generator per request signature."""
+        from mug_diffusion_tpu.apps.serving import build_fused_generate
+
+        key = (steps, scale, count, z_length)
+        if not hasattr(self, "_fused_cache"):
+            self._fused_cache = {}
+        if key not in self._fused_cache:
+            ratio = self.max_audio_frame // self.model.z_length
+            self._fused_cache[key] = build_fused_generate(
+                self.model, steps=steps, scale=scale, count=count,
+                z_length=z_length, mel_frames=z_length * ratio,
+                sr=self.sr, n_mels=self.n_mels, n_fft=self.n_fft,
+                input_kind="mel",
+            )
+        return self._fused_cache[key]
+
     # ------------------------------------------------------------ prompts
 
     def encode_prompt(self, feature_dicts, batch_size: int):
@@ -187,11 +204,24 @@ class GenerationPipeline:
         mel = self.load_mel(audio_path)
         mel, z_length = self.fit_length(mel)
 
+        feature = self.encode_prompt(feature_dict, count)
+        uc_feature = self.encode_prompt({}, count)
+
+        if (mask is None and x0 is None and inpaint_from is None
+                and eta == 0.0):
+            # fused single-dispatch path (apps/serving.py): the whole
+            # generation (wave encode -> prompt -> CFG DDIM scan -> decode)
+            # is one executable — measured 2.5x faster end-to-end than the
+            # modular chain on a remote-TPU host (see docs/PERF.md)
+            decoded = self._fused(steps, scale, count, z_length)(
+                self.params, jnp.asarray(mel), feature, uc_feature,
+                jax.random.PRNGKey(seed),
+            )
+            return np.asarray(decoded).transpose(0, 2, 1), z_length
+
         # the audio is shared across samples: encode the wave pyramid once at
         # batch 1 and broadcast only the deep scales the U-Net consumes
         audio1 = jnp.asarray(mel.T[None])  # [1, Tmel, n_mels]
-        feature = self.encode_prompt(feature_dict, count)
-        uc_feature = self.encode_prompt({}, count)
 
         _, w1 = self.model.encode_conditioning(
             self.params, audio1, feature[:1]

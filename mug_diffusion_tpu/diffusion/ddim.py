@@ -116,6 +116,9 @@ class DDIMSampler:
             S, size, use_cfg, mask is not None,
             temperature, noise_dropout, len(w_in),
         )
+        # materialize the L-specific S4 conv kernels once outside the scan
+        # (XLA does not hoist their FFT math out of the loop body)
+        params = self._with_s4_kernels(params, size, use_cfg, c_in, w_in)
         mask_arg = (
             jnp.zeros(size) if mask is None else jnp.broadcast_to(mask, size)
         )
@@ -141,6 +144,30 @@ class DDIMSampler:
         }
         return samples, intermediates
 
+    def _with_s4_kernels(self, params, size, use_cfg, c_in, w_in):
+        if not hasattr(self.model, "model") or not isinstance(params, dict):
+            return params  # stub/test models without a flax wrapper
+        if "s4_kernel" in params:
+            return params
+        B_in = size[0] * (2 if use_cfg else 1)
+        key = ("s4k", size[1:], B_in, tuple(wi.shape for wi in w_in))
+        if key not in self._cache:
+            model = self.model
+
+            @jax.jit
+            def extract(params, c_in, w_in):
+                x_probe = jnp.zeros((B_in,) + tuple(size[1:]))
+                t_probe = jnp.zeros((B_in,), jnp.int32)
+                _, s4k = model.model.apply(
+                    params, x_probe, t_probe, c_in, w_in,
+                    mutable=["s4_kernel"],
+                )
+                return s4k
+
+            self._cache[key] = extract
+        s4k = self._cache[key](params, c_in, w_in)
+        return {**params, **s4k}
+
     def _get_step_fn(
         self, S, size, use_cfg, use_mask, temperature, noise_dropout, n_w
     ):
@@ -153,46 +180,71 @@ class DDIMSampler:
         @jax.jit
         def run(params, x, c_in, w_in, mask, x0, rng, timesteps, alphas,
                 alphas_prev, sigmas, sqrt_omas, guidance_scale):
-            B = size[0]
-
-            def step(carry, per_step):
-                x, rng = carry
-                ts, a_t, a_prev, sigma_t, sqrt_oma = per_step
-                t_vec = jnp.full((B,), ts, jnp.int32)
-
-                if use_mask:
-                    rng, rng_q = jax.random.split(rng)
-                    noise_q = jax.random.normal(rng_q, x.shape)
-                    x_orig = model.q_sample(x0, t_vec, noise_q)
-                    x = x_orig * mask + (1.0 - mask) * x
-
-                if use_cfg:
-                    x_dbl = jnp.concatenate([x, x], axis=0)
-                    t_dbl = jnp.concatenate([t_vec, t_vec], axis=0)
-                    out = model.apply_model(params, x_dbl, t_dbl, c_in, w_in)
-                    e_uncond, e_cond = jnp.split(out, 2, axis=0)
-                    e_t = e_uncond + guidance_scale * (e_cond - e_uncond)
-                else:
-                    e_t = model.apply_model(params, x, t_vec, c_in, w_in)
-
-                pred_x0 = (x - sqrt_oma * e_t) / jnp.sqrt(a_t)
-                dir_xt = jnp.sqrt(1.0 - a_prev - sigma_t ** 2) * e_t
-                rng, rng_n = jax.random.split(rng)
-                noise = sigma_t * jax.random.normal(rng_n, x.shape) * temperature
-                if noise_dropout > 0.0:
-                    rng, rng_d = jax.random.split(rng)
-                    keep = jax.random.bernoulli(
-                        rng_d, 1.0 - noise_dropout, noise.shape
-                    )
-                    noise = jnp.where(keep, noise / (1.0 - noise_dropout), 0.0)
-                x_prev = jnp.sqrt(a_prev) * pred_x0 + dir_xt + noise
-                return (x_prev, rng), (x_prev, pred_x0)
-
-            (_, _), (xs, pred_x0s) = jax.lax.scan(
-                step, (x, rng),
+            xs, pred_x0s = ddim_scan_core(
+                model, params, x, c_in, w_in, mask, x0, rng,
                 (timesteps, alphas, alphas_prev, sigmas, sqrt_omas),
+                guidance_scale, use_cfg=use_cfg, use_mask=use_mask,
+                temperature=temperature, noise_dropout=noise_dropout,
+                collect=True,
             )
             return xs, pred_x0s
 
         self._cache[key] = run
         return run
+
+
+def ddim_scan_core(
+    model, params, x, c_in, w_in, mask, x0, rng, tables, guidance_scale,
+    *, use_cfg, use_mask, temperature=1.0, noise_dropout=0.0, collect=True,
+):
+    """The whole DDIM trajectory as one ``lax.scan``
+    (ref: mug/diffusion/ddim.py:110-196). Shared by the modular sampler and
+    the fused single-dispatch serving path (apps/serving.py).
+
+    collect=False emits no per-step outputs (the scan carries only x),
+    saving the [S, B, T, C] x2 trajectory stores; returns (x_final, None).
+    """
+    timesteps, alphas, alphas_prev, sigmas, sqrt_omas = tables
+    B = x.shape[0]
+
+    def step(carry, per_step):
+        x, rng = carry
+        ts, a_t, a_prev, sigma_t, sqrt_oma = per_step
+        t_vec = jnp.full((B,), ts, jnp.int32)
+
+        if use_mask:
+            rng, rng_q = jax.random.split(rng)
+            noise_q = jax.random.normal(rng_q, x.shape)
+            x_orig = model.q_sample(x0, t_vec, noise_q)
+            x = x_orig * mask + (1.0 - mask) * x
+
+        if use_cfg:
+            x_dbl = jnp.concatenate([x, x], axis=0)
+            t_dbl = jnp.concatenate([t_vec, t_vec], axis=0)
+            out = model.apply_model(params, x_dbl, t_dbl, c_in, w_in)
+            e_uncond, e_cond = jnp.split(out, 2, axis=0)
+            e_t = e_uncond + guidance_scale * (e_cond - e_uncond)
+        else:
+            e_t = model.apply_model(params, x, t_vec, c_in, w_in)
+
+        pred_x0 = (x - sqrt_oma * e_t) / jnp.sqrt(a_t)
+        dir_xt = jnp.sqrt(1.0 - a_prev - sigma_t ** 2) * e_t
+        rng, rng_n = jax.random.split(rng)
+        noise = sigma_t * jax.random.normal(rng_n, x.shape) * temperature
+        if noise_dropout > 0.0:
+            rng, rng_d = jax.random.split(rng)
+            keep = jax.random.bernoulli(
+                rng_d, 1.0 - noise_dropout, noise.shape
+            )
+            noise = jnp.where(keep, noise / (1.0 - noise_dropout), 0.0)
+        x_prev = jnp.sqrt(a_prev) * pred_x0 + dir_xt + noise
+        ys = (x_prev, pred_x0) if collect else None
+        return (x_prev, rng), ys
+
+    (x_final, _), ys = jax.lax.scan(
+        step, (x, rng),
+        (timesteps, alphas, alphas_prev, sigmas, sqrt_omas),
+    )
+    if collect:
+        return ys
+    return x_final, None

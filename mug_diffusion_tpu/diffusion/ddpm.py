@@ -44,8 +44,13 @@ class MugDiffusionWrapper(nn.Module):
         self.cond_stage_model = instantiate_from_config(self.cond_stage_config)
 
     def wave_output(self, audio, deterministic: bool = True):
-        """[B, T_mel, n_mels] -> list of multi-scale features."""
-        return self.wave_model(audio.astype(jnp.float32), deterministic)
+        """[B, T_mel, n_mels] -> list of multi-scale features. Floating
+        inputs keep their dtype (bf16 under the mixed-precision policy);
+        integer/fp16-cache inputs are promoted to fp32."""
+        if not jnp.issubdtype(audio.dtype, jnp.floating) or \
+                audio.dtype == jnp.float16:
+            audio = audio.astype(jnp.float32)
+        return self.wave_model(audio, deterministic)
 
     def cond_output(self, feature):
         """[B, F] ids -> [B, F, H] context."""
@@ -138,9 +143,14 @@ class DDPM:
         learn_logvar: bool = False,
         logvar_init: float = 0.0,
         base_learning_rate: Optional[float] = None,
+        compute_dtype: str = "bfloat16",
     ):
         assert parameterization in ("eps", "x0", "recon")
         self.parameterization = parameterization
+        # inference compute precision (params stay fp32 masters); 'float32'
+        # disables the bf16 fast path — see utils/precision.py
+        from mug_diffusion_tpu.utils.precision import resolve_dtype
+        self.compute_dtype = resolve_dtype(compute_dtype)
         self.clip_denoised = clip_denoised
         self.log_every_t = log_every_t
         self.z_channels = z_channels
@@ -213,7 +223,11 @@ class DDPM:
                 rng, note, audio, feature, method=MugDiffusionWrapper.full_init
             )
 
-        return _init(rng, note, audio, feature)
+        variables = dict(_init(rng, note, audio, feature))
+        # drop the init-length S4 kernel cache: it is L-specific and is
+        # re-materialized per length bucket by the serving path
+        variables.pop("s4_kernel", None)
+        return variables
 
     # ------------------------------------------------------------ q / p
 
@@ -318,13 +332,27 @@ class DDPM:
 
     # ----------------------------------------------------------- sampling
 
+    def _maybe_bf16(self, params, *arrays):
+        """Apply the compute-dtype policy to a (params, inputs...) pair."""
+        if self.compute_dtype == jnp.bfloat16:
+            from mug_diffusion_tpu.utils.precision import cast_floating
+
+            params = cast_floating(params)
+            arrays = tuple(a.astype(jnp.bfloat16) for a in arrays)
+        return (params,) + arrays
+
     @functools.cached_property
     def _wave_jit(self):
-        return jax.jit(
-            lambda params, audio: self.model.apply(
+        def f(params, audio):
+            params, audio = self._maybe_bf16(params, audio)
+            w = self.model.apply(
                 params, audio, method=MugDiffusionWrapper.wave_output
             )
-        )
+            if not isinstance(w, (list, tuple)):
+                w = [w]
+            return [wi.astype(jnp.float32) for wi in w]
+
+        return jax.jit(f)
 
     @functools.cached_property
     def _cond_jit(self):
@@ -336,11 +364,14 @@ class DDPM:
 
     @functools.cached_property
     def _decode_jit(self):
-        return jax.jit(
-            lambda params, z: self.model.apply(
+        def f(params, z):
+            params, z = self._maybe_bf16(params, z)
+            out = self.model.apply(
                 params, z, method=MugDiffusionWrapper.decode
             )
-        )
+            return out.astype(jnp.float32)
+
+        return jax.jit(f)
 
     @functools.cached_property
     def _encode_mode_jit(self):
@@ -364,6 +395,19 @@ class DDPM:
         return self._cond_jit(params, feature)
 
     def apply_model(self, params, x, t, c, w):
+        """U-Net evaluation — the hot call inside sampling scans. Under the
+        bf16 policy the parameter cast is traced inside the caller's jit, so
+        XLA hoists it out of the scan (one cast per call, not per step); the
+        output returns to fp32 for the DDIM update math."""
+        if self.compute_dtype == jnp.bfloat16:
+            from mug_diffusion_tpu.utils.precision import cast_floating
+
+            params = cast_floating(params)
+            x = x.astype(jnp.bfloat16)
+            c = c.astype(jnp.bfloat16)
+            w = [wi.astype(jnp.bfloat16) for wi in w]
+            out = self.model.apply(params, x, t, c, w)
+            return out.astype(jnp.float32)
         return self.model.apply(params, x, t, c, w)
 
     def decode(self, params, z):

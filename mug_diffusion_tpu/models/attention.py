@@ -96,11 +96,29 @@ class CrossAttention(nn.Module):
             "C_embedding", nn.initializers.ones, (2 * P + 1, h)
         )
 
-        # distance index [Lq, Lk] clamped to +-P (ref: attention.py:101-106)
-        idx = jnp.arange(Lk)[None, :] - jnp.arange(Lq)[:, None]
-        idx = jnp.clip(idx, -P, P) + P
-        pos_bias = rel_pos[idx]  # [Lq, Lk, h]
-        c_matrix = c_emb[idx]  # [Lq, Lk, h]
+        # distance index [Lq, Lk] clamped to +-P (ref: attention.py:101-106).
+        # The materialized [Lq, Lk, h] gathers depend only on params + shape
+        # and are expensive VPU random access — loop-invariant inside a
+        # sampling scan, but XLA won't hoist them, so callers can cache them
+        # via `mutable=['s4_kernel']` (shared hoisting collection).
+        cached = None
+        if self.has_variable("s4_kernel", "relpos"):
+            cached = self.get_variable("s4_kernel", "relpos")
+            if isinstance(cached, tuple):  # sow's default tuple wrapper
+                cached = cached[-1] if cached else None
+            if cached is not None and cached.shape[1:3] != (Lq, Lk):
+                cached = None
+        if cached is None:
+            idx = jnp.arange(Lk)[None, :] - jnp.arange(Lq)[:, None]
+            idx = jnp.clip(idx, -P, P) + P
+            pos_bias = rel_pos[idx]  # [Lq, Lk, h]
+            c_matrix = c_emb[idx]  # [Lq, Lk, h]
+            if self.is_mutable_collection("s4_kernel"):
+                self.sow("s4_kernel", "relpos",
+                         jnp.stack([pos_bias, c_matrix]),
+                         reduce_fn=lambda prev, new: new)
+        else:
+            pos_bias, c_matrix = cached[0], cached[1]
 
         scale = self.dim_head ** -0.5
 
@@ -126,7 +144,9 @@ class CrossAttention(nn.Module):
             big_neg = jnp.finfo(sim.dtype).min
             sim = jnp.where(mask[:, None, None, :], sim, big_neg)
 
-        attn = jax.nn.softmax(sim, axis=-1)
+        # softmax in fp32 for bf16 stability, back to compute dtype after
+        attn = jax.nn.softmax(sim.astype(jnp.float32), axis=-1)
+        attn = attn.astype(v.dtype)
         attn = attn * c_matrix.transpose(2, 0, 1)[None]
 
         out = jnp.einsum("bhqk,bkhd->bqhd", attn, v)
@@ -145,12 +165,13 @@ class BasicTransformerBlock(nn.Module):
     dropout: float = 0.0
     context_dim: Optional[int] = None
     gated_ff: bool = True
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, context=None, deterministic: bool = True):
         x = CrossAttention(
             query_dim=self.dim, heads=self.n_heads, dim_head=self.d_head,
-            dropout=self.dropout,
+            dropout=self.dropout, use_pallas=self.use_pallas,
         )(nn.LayerNorm()(x), deterministic=deterministic) + x
         x = CrossAttention(
             query_dim=self.dim, context_dim=self.context_dim,
@@ -174,6 +195,7 @@ class ContextualTransformer(nn.Module):
     dropout: float = 0.0
     context_dim: Optional[int] = None
     use_checkpoint: bool = False
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, context=None, deterministic: bool = True):
@@ -190,6 +212,7 @@ class ContextualTransformer(nn.Module):
             x = block_cls(
                 dim=inner_dim, n_heads=self.n_heads, d_head=self.d_head,
                 dropout=self.dropout, context_dim=self.context_dim,
+                use_pallas=self.use_pallas,
             )(x, context, deterministic)
         x = nn.Dense(
             self.in_channels, kernel_init=zeros_init, bias_init=zeros_init

@@ -27,6 +27,7 @@ scratch, C is treated directly as the learned parameter.
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Tuple
 
@@ -170,6 +171,29 @@ def s4_kernel_nplr(
     return k[0]  # [C, H, L]
 
 
+@functools.lru_cache(maxsize=None)
+def _dft_mats(L: int):
+    """Real-DFT / inverse matrices for a length-2L circular convolution of a
+    length-L (zero-padded) signal, as trace-time fp32 constants.
+
+    forward:  U_k = sum_{t<L} u_t e^{-2 pi i t k / n},  k = 0..L  (n = 2L)
+    inverse:  y_t = (1/n) [U_0 + 2 sum_{0<k<L} Re(U_k e^{2 pi i t k / n})
+                           + Re(U_L) cos(pi t)],        t = 0..L-1
+    """
+    n = 2 * L
+    t = np.arange(L)
+    k = np.arange(L + 1)
+    ang = 2.0 * np.pi * np.outer(t, k) / n  # [L, L+1]
+    f_re = np.cos(ang).astype(np.float32)
+    f_im = (-np.sin(ang)).astype(np.float32)
+    w = np.full(L + 1, 2.0)
+    w[0] = w[L] = 1.0
+    ang2 = 2.0 * np.pi * np.outer(k, t) / n  # [L+1, L]
+    g_re = (w[:, None] * np.cos(ang2) / n).astype(np.float32)
+    g_im = (-w[:, None] * np.sin(ang2) / n).astype(np.float32)
+    return f_re, f_im, g_re, g_im
+
+
 class S4(nn.Module):
     """Full S4 block: SSM kernel + FFT convolution + gated output mix
     (ref: mug/model/s4.py:1357-1541 with live defaults).
@@ -269,25 +293,55 @@ class S4(nn.Module):
     def __call__(self, u, deterministic: bool = True):
         """u: [B, T, H] -> [B, T, H]."""
         L = u.shape[1]
-        k = self.compute_kernel(L)  # [ch, H, L]
-
-        if self.bidirectional:
-            k0, k1 = jnp.split(k, 2, axis=0)
-            k = jnp.pad(k0, ((0, 0), (0, 0), (0, L))) + jnp.pad(
-                k1[..., ::-1], ((0, 0), (0, 0), (L, 0))
-            )
-
         n = 2 * L
-        k_f = jnp.fft.rfft(k, n=n, axis=-1)  # [ch, H, n/2+1]
-        u_f = jnp.fft.rfft(u.astype(jnp.float32), n=n, axis=1)  # [B, n/2+1, H]
-        y_f = u_f[:, None] * k_f.transpose(0, 2, 1)[None]  # [B, ch, n/2+1, H]
-        y = jnp.fft.irfft(y_f, n=n, axis=2)[:, :, :L]  # [B, ch, L, H]
+        # Kernel hoisting: the frequency-domain conv kernel depends only on
+        # params + L, but XLA does not hoist its FFT/resolvent math out of a
+        # surrounding lax.scan (measured ms/step waste in the DDIM loop).
+        # A caller can materialize it once per length via
+        # `apply(..., mutable=['s4_kernel'])` and feed the collection back on
+        # subsequent applies; we sow when mutable and read when present.
+        k_f = None
+        if self.has_variable("s4_kernel", "kf"):
+            cached = self.get_variable("s4_kernel", "kf")
+            if isinstance(cached, tuple):
+                cached = cached[-1] if cached else None
+            if cached is not None and cached.shape[-1] == n // 2 + 1:
+                k_f = cached
+        if k_f is None:
+            k = self.compute_kernel(L)  # [ch, H, L]
+            if self.bidirectional:
+                k0, k1 = jnp.split(k, 2, axis=0)
+                k = jnp.pad(k0, ((0, 0), (0, 0), (0, L))) + jnp.pad(
+                    k1[..., ::-1], ((0, 0), (0, 0), (L, 0))
+                )
+            k_f = jnp.fft.rfft(k, n=n, axis=-1)  # [ch, H, n/2+1]
+            if self.is_mutable_collection("s4_kernel"):
+                self.sow("s4_kernel", "kf", k_f,
+                         reduce_fn=lambda prev, new: new)
+        u_t = u.astype(jnp.float32).transpose(0, 2, 1)  # [B, H, T]
+        if L <= 2048:
+            # DFT by matmul: XLA's TPU FFT runs on the VPU and measures
+            # ~60 us per call at these sizes — 8x slower than evaluating the
+            # (zero-padded, length-2L) real DFT as four MXU matmuls against
+            # trace-time constant cos/sin matrices. Profiled on v5e: the
+            # per-step FFT was 46% of the whole DDIM loop.
+            f_re, f_im, g_re, g_im = _dft_mats(L)
+            u_re = u_t @ f_re  # [B, H, L+1]
+            u_im = u_t @ f_im
+            k_re, k_im = jnp.real(k_f), jnp.imag(k_f)  # [ch, H, L+1]
+            y_re = u_re[:, None] * k_re[None] - u_im[:, None] * k_im[None]
+            y_im = u_re[:, None] * k_im[None] + u_im[:, None] * k_re[None]
+            y = y_re @ g_re + y_im @ g_im  # [B, ch, H, L]
+        else:
+            u_f = jnp.fft.rfft(u_t, n=n, axis=-1)  # [B, H, n/2+1]
+            y_f = u_f[:, None] * k_f[None]  # [B, ch, H, n/2+1]
+            y = jnp.fft.irfft(y_f, n=n, axis=-1)[..., :L]  # [B, ch, H, L]
 
-        # D skip: y[b,c,l,h] += u[b,l,h] * D[c,h] (ref: s4.py:1514)
-        y = y + u[:, None] * self.D[None, :, None, :]
+        # D skip: y[b,c,h,l] += u[b,h,l] * D[c,h] (ref: s4.py:1514)
+        y = y + u_t[:, None] * self.D[None, :, :, None]
 
         # flatten channels: [B, L, ch*H]
-        y = y.transpose(0, 2, 1, 3).reshape(u.shape[0], L, -1)
+        y = y.transpose(0, 3, 1, 2).reshape(u.shape[0], L, -1)
         y = self.drop(nn.gelu(y, approximate=False), deterministic=deterministic)
         y = self.output_linear(y)
         a, b = jnp.split(y, 2, axis=-1)
@@ -310,7 +364,9 @@ class S4Layer(nn.Module):
             self.model_channels, (3,), padding=[(1, 1)],
             kernel_init=zeros_init, bias_init=zeros_init,
         )(h)
-        return x + h
+        # S4 internals run fp32 (complex FFT); return to the caller's
+        # compute dtype so the rest of the level stays bf16-eligible
+        return x + h.astype(x.dtype)
 
 
 class S4BidirectionalLayer(nn.Module):
@@ -326,4 +382,4 @@ class S4BidirectionalLayer(nn.Module):
         h = S4(d_model=self.model_channels, bidirectional=True)(
             h, deterministic=deterministic
         )
-        return x + h
+        return x + h.astype(x.dtype)

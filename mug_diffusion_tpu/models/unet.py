@@ -75,6 +75,7 @@ class UNetModel(nn.Module):
     s4_layer: bool = False
     transformer_depth: int = 1
     context_dim: Optional[int] = None
+    use_pallas: bool = False  # fused rel-pos self-attention Pallas kernel
 
     def _heads(self, ch):
         if self.num_head_channels == -1:
@@ -115,14 +116,18 @@ class UNetModel(nn.Module):
                 dropout=self.dropout,
                 context_dim=self.context_dim,
                 use_checkpoint=self.use_checkpoint,
+                use_pallas=self.use_pallas,
             )
 
         time_embed_dim = self.model_channels * 4
         if timesteps.ndim == 2:
             timesteps = timesteps[:, 0]
         t_emb = timestep_embedding(timesteps, self.model_channels)
-        emb = nn.Dense(time_embed_dim)(t_emb)
+        # keep the embedding in the compute dtype: a fp32 emb would type-
+        # promote every FiLM resblock back to fp32 under the bf16 policy
+        emb = nn.Dense(time_embed_dim)(t_emb.astype(x.dtype))
         emb = nn.Dense(time_embed_dim)(nn.silu(emb))
+        emb = emb.astype(x.dtype)
 
         h = nn.Conv(self.model_channels, (3,), padding=[(1, 1)])(x)
         hs = [h]
