@@ -11,8 +11,11 @@ from the torch version, chosen deliberately for XLA:
   ``lax.scan`` sampling loop XLA hoists it out as loop-invariant, so the
   per-step cost of S4 at inference is just the FFT convolution.
 * The Cauchy resolvent sum (s4.py:140-147 ``cauchy_naive``) is evaluated as
-  one fused elementwise+reduce contraction; a Pallas kernel can slot in via
-  ``mug_diffusion_tpu.ops.cauchy`` without changing this module.
+  one fused elementwise+reduce contraction.
+* The FFT convolution is evaluated as a real DFT by MXU matmul for
+  L <= 2048 (XLA's TPU FFT is VPU-bound and ~8x slower at these sizes),
+  and the frequency-domain kernel can be materialized once per length via
+  the ``s4_kernel`` flax collection for sampling scans (see __call__).
 
 Initialization is a NumPy port of the HiPPO-LegS NPLR decomposition
 (ref: s4.py:288-438) with the same defaults the live model uses:
@@ -126,8 +129,13 @@ def s4d_kernel(log_dt, B, C, inv_w_real, w_imag, L: int):
 def cauchy(v, z, w):
     """Cauchy resolvent sum_n v_n / (z - w_n) (ref: s4.py:140-147).
 
-    v, w: [..., N] complex; z: [L] complex -> [..., L] complex.
-    Evaluated as a fused broadcast+reduce; all complex64.
+    v: [..., H, N] complex; w: [H, N]; z: [L] -> [..., H, L] complex.
+    Evaluated as a fused broadcast+reduce; all complex64. (A Pallas Cauchy
+    kernel was evaluated and cut: after the serving path started
+    materializing kernels once per length and training adopted the
+    DFT-matmul conv, kernel construction is <3% of a training step, and the
+    kernel itself violated TPU tiling constraints at the live N=32 state
+    size — see docs/PERF.md.)
     """
     return jnp.sum(
         v[..., :, None] / (z[None, :] - w[..., :, None]), axis=-2

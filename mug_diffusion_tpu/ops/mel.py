@@ -186,10 +186,21 @@ def melspectrogram(
     else:
         y = y[:needed]
 
-    fb_t = jnp.asarray(mel_filterbank(sr, n_fft, n_mels).T)
-    win = jnp.asarray(hann_window(n_fft))
-    out = _mel_kernel(jnp.asarray(y), fb_t, win, n_fft, hop_length, num_frames)
-    out = np.asarray(out, dtype=np.float16)
+    # host-side (numpy) transform, numerically identical to _mel_kernel.
+    # Data-loader workers call this from threads during training; dispatching
+    # the jitted device kernel from there would contend with the training
+    # step for the TPU, so the loader path stays on the host CPU.
+    ratio = n_fft // hop_length
+    pad = n_fft // 2
+    yp = np.pad(y, (pad, pad + n_fft))
+    blocks = yp[: (num_frames + ratio) * hop_length].reshape(-1, hop_length)
+    frames = np.concatenate(
+        [blocks[i: i + num_frames] for i in range(ratio)], axis=1
+    )  # [num_frames, n_fft]
+    spec = np.fft.rfft(frames * hann_window(n_fft)[None, :], axis=1)
+    power = spec.real.astype(np.float32) ** 2 + spec.imag.astype(np.float32) ** 2
+    mel = power @ mel_filterbank(sr, n_fft, n_mels).T
+    out = np.log1p(mel).T.astype(np.float16)
     if max_frames is not None and out.shape[1] < max_frames:
         out = np.pad(out, ((0, 0), (0, max_frames - out.shape[1])))
     return out

@@ -1,8 +1,16 @@
 """Training-throughput benchmark: full live-model training step on the
 current device (wave encoder over 32768 mel frames with remat, frozen VAE
-encode, U-Net fwd+bwd, masked AdamW).
+encode, U-Net fwd+bwd, masked AdamW), plus host input-pipeline throughput.
 
 Prints one JSON line: {"metric", "value", "unit", "detail"}.
+
+Env:
+  BENCH_TRAIN_BATCH   per-device batch (default 48 = the reference's
+                      configs/mug/mug_diffusion.yaml:93 batch size)
+  BENCH_TRAIN_STEPS   timed steps (default 10)
+
+NOTE timing uses a host readback of the final loss — on the remote-TPU
+tunnel jax.block_until_ready() does not reliably block (docs/PERF.md).
 """
 
 from __future__ import annotations
@@ -15,16 +23,62 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def loader_throughput(seconds: float = 5.0):
+    """Items/sec of the host data pipeline on a synthetic dataset (parse +
+    tensorize + augment + host mel from cached npz)."""
+    try:
+        import tempfile
+
+        import numpy as np
+
+        from scripts.make_synthetic_dataset import write_set
+        from mug_diffusion_tpu.data.dataset import OsuTrainDataset
+
+        with tempfile.TemporaryDirectory() as td:
+            rng = np.random.default_rng(0)
+            paths = [
+                write_set(td, f"synth{i:03d}", 30.0,
+                          float(rng.uniform(150, 220)), seed=i)
+                for i in range(8)
+            ]
+            txt = os.path.join(td, "beatmap.txt")
+            with open(txt, "w") as f:
+                f.writelines(p + "\n" for p in paths)
+            ds = OsuTrainDataset(
+                txt_file=[txt], sr=22050, n_fft=512, max_audio_frame=32768,
+                audio_note_window_ratio=8, n_mels=128,
+                cache_dir=os.path.join(td, "cache"),
+                with_audio=True, with_feature=False,
+                feature_yaml=os.path.join(
+                    os.path.dirname(os.path.dirname(
+                        os.path.abspath(__file__))),
+                    "configs/mug/mania_beatmap_features.yaml"),
+            )
+            # warm the mel cache
+            for i in range(min(len(ds), 8)):
+                ds[i]
+            n = 0
+            t0 = time.time()
+            while time.time() - t0 < seconds:
+                ds[n % len(ds)]
+                n += 1
+            return round(n / (time.time() - t0), 1)
+    except Exception as e:  # pragma: no cover - diagnostic only
+        return f"unavailable: {type(e).__name__}: {e}"
+
+
 def main():
     import jax
     import jax.numpy as jnp
+    import numpy as np
     import optax
 
     from __graft_entry__ import _model_config
     from mug_diffusion_tpu.utils.checkpoint import trainable_mask
     from mug_diffusion_tpu.utils.config import instantiate_from_config
 
-    B = int(os.environ.get("BENCH_TRAIN_BATCH", "8"))
+    B = int(os.environ.get("BENCH_TRAIN_BATCH", "48"))
+    n = int(os.environ.get("BENCH_TRAIN_STEPS", "10"))
     z_len = 512
     note_len = z_len * 8
     mel_len = z_len * 64
@@ -48,9 +102,14 @@ def main():
     )
     opt_state = opt.init(params)
 
+    # random batch: an all-zeros batch NaNs the GroupNorm gradient (0/0 at
+    # zero variance) and is unrepresentative for timing anyway
+    kb = jax.random.PRNGKey(42)
     batch = {
-        "note": jnp.zeros((B, note_len, 16)),
-        "audio": jnp.zeros((B, mel_len, 128)),
+        "note": (jax.random.uniform(kb, (B, note_len, 16)) > 0.9).astype(
+            jnp.float32),
+        "audio": 0.1 * jax.random.normal(
+            jax.random.fold_in(kb, 1), (B, mel_len, 128)),
         "feature": jnp.zeros((B, 21), jnp.int32),
         "valid_flag": jnp.ones((B, note_len)),
     }
@@ -67,15 +126,20 @@ def main():
 
     params, opt_state, loss = step(params, opt_state, batch,
                                    jax.random.PRNGKey(1))
-    jax.block_until_ready(loss)
+    float(np.asarray(loss))  # force completion (see module docstring)
 
     t0 = time.time()
-    n = 10
     for i in range(n):
         params, opt_state, loss = step(params, opt_state, batch,
                                        jax.random.PRNGKey(i))
-    jax.block_until_ready(loss)
+    final = float(np.asarray(loss))  # in-order queue: forces all n steps
     dt = (time.time() - t0) / n
+
+    try:
+        stats = jax.devices()[0].memory_stats() or {}
+        hbm_peak_gb = round(stats.get("peak_bytes_in_use", 0) / 2**30, 2)
+    except Exception:
+        hbm_peak_gb = None
 
     print(json.dumps({
         "metric": "train_step_live_model",
@@ -84,6 +148,9 @@ def main():
         "detail": {
             "batch": B,
             "charts_per_sec_per_chip": round(B / dt, 1),
+            "hbm_peak_gb": hbm_peak_gb,
+            "loss_finite": bool(np.isfinite(final)),
+            "loader_items_per_sec": loader_throughput(),
             "device": str(jax.devices()[0]),
         },
     }))

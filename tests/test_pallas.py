@@ -35,27 +35,6 @@ def test_fused_relpos_attention_matches_reference():
     np.testing.assert_allclose(np.asarray(out), want, atol=1e-5, rtol=1e-4)
 
 
-def test_cauchy_pallas_matches_naive():
-    from mug_diffusion_tpu.ops.cauchy_pallas import cauchy_pallas
-
-    rng = np.random.default_rng(0)
-    K, H, N, L = 4, 3, 32, 17
-    v = (rng.standard_normal((K, H, N)) +
-         1j * rng.standard_normal((K, H, N))).astype(np.complex64)
-    w = (-np.abs(rng.standard_normal((H, N))) +
-         1j * rng.standard_normal((H, N))).astype(np.complex64)
-    z = (rng.standard_normal(L) + 1j * rng.standard_normal(L)).astype(
-        np.complex64
-    )
-    got = np.asarray(cauchy_pallas(jnp.asarray(v), jnp.asarray(z),
-                                   jnp.asarray(w), interpret=True))
-    want = np.sum(
-        v[..., :, None] / (z[None, None, None, :] - w[None, :, :, None]),
-        axis=-2,
-    )
-    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-3)
-
-
 def test_cross_attention_pallas_path_matches_jnp_path():
     """CrossAttention(use_pallas=True) must equal the jnp path for
     self-attention."""

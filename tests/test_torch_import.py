@@ -283,6 +283,9 @@ def test_full_ddpm_checkpoint_conversion(torch_ref):
             ),
         ),
     )
+    # cross-framework parity is asserted at fp32 (the production default is
+    # the bf16 compute policy, gated separately in tests/test_precision.py)
+    model_config["params"]["compute_dtype"] = "float32"
     ddpm = instantiate_from_config(model_config)
     # 8 wave levels - 2 unet levels = 6 -> mel length = z * 2^6
     target = ddpm.init_params(
