@@ -119,3 +119,142 @@ def test_trainer_resume_roundtrip(tmp_path):
     t2.setup(restore_path=path, resume=True)
     assert t2.global_step == 3
     np.testing.assert_allclose(np.asarray(t2.params["params"]["w"]), w1)
+
+
+def _tiny_ddpm():
+    from __graft_entry__ import _model_config
+    from mug_diffusion_tpu.utils.config import instantiate_from_config
+
+    cfg = _model_config(tiny=True)
+    cfg["params"]["compute_dtype"] = "float32"
+    return instantiate_from_config(cfg)
+
+
+def test_dp_gradient_equivalence_8dev_vs_single():
+    """An 8-device data-parallel training step must produce the same updated
+    parameters as a single-device step on the same global batch (the psum
+    mean over shards equals the full-batch mean)."""
+    import optax
+
+    from mug_diffusion_tpu.utils.checkpoint import trainable_mask
+
+    ddpm = _tiny_ddpm()
+    B, z_len = 8, 16
+    note_len, mel_len = z_len * 8, z_len * 4  # tiny wave: 4 levels, unet 2
+    rng = jax.random.PRNGKey(0)
+    variables = ddpm.init_params(
+        rng, {"batch": 1, "z_length": z_len, "mel_length": mel_len,
+              "n_mels": 16},
+    )
+    mask = {
+        "params": trainable_mask(
+            variables["params"], frozen_prefixes=("first_stage_model",)
+        )
+    }
+    optimizer = optax.chain(
+        optax.adamw(1e-2),
+        optax.masked(optax.set_to_zero(),
+                     jax.tree_util.tree_map(lambda t: not t, mask)),
+    )
+    opt_state = optimizer.init(variables)
+
+    k = jax.random.PRNGKey
+    batch = {
+        "note": (jax.random.uniform(k(1), (B, note_len, 16)) > 0.9).astype(
+            jnp.float32),
+        "audio": 0.1 * jax.random.normal(k(2), (B, mel_len, 16)),
+        "feature": jnp.zeros((B, 21), jnp.int32),
+        "valid_flag": jnp.ones((B, note_len)),
+    }
+
+    def train_step(params, opt_state, batch, rng):
+        def loss_fn(p):
+            loss, _ = ddpm.loss_fn(p, batch, rng, train=True)
+            return loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), loss
+
+    step_rng = jax.random.PRNGKey(42)
+
+    # single device (default placement)
+    p1, loss1 = jax.jit(train_step)(variables, opt_state, batch, step_rng)
+
+    # 8-device DP mesh
+    mesh = create_mesh(n_devices=8, axes=("data",))
+    rep, data = replicated_sharding(mesh), batch_sharding(mesh)
+    step8 = jax.jit(train_step, in_shardings=(rep, rep, data, rep),
+                    out_shardings=(rep, rep))
+    dev_batch = shard_batch(
+        {kk: np.asarray(v) for kk, v in batch.items()}, mesh
+    )
+    p8, loss8 = step8(variables, opt_state, dev_batch, step_rng)
+
+    assert np.allclose(float(loss1), float(loss8), atol=1e-5)
+    flat1 = jax.tree_util.tree_leaves(p1)
+    flat8 = jax.tree_util.tree_leaves(p8)
+    for a, b in zip(flat1, flat8):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-4
+        )
+
+
+def test_trainer_multidevice_grad_accumulation(tmp_path):
+    """Trainer on a 2-device mesh with accumulate_grad_batches=2 through
+    optax.MultiSteps: parameters must change only every 2nd micro-batch."""
+    from __graft_entry__ import _model_config
+    from mug_diffusion_tpu.training.tasks import build_task
+    from mug_diffusion_tpu.training.trainer import Trainer
+
+    cfg = _model_config(tiny=True)
+    cfg["params"]["compute_dtype"] = "float32"
+    cfg["base_learning_rate"] = 1e-3
+    task = build_task(cfg)
+    mesh = create_mesh(n_devices=2, axes=("data",))
+    trainer = Trainer(
+        task=task, logdir=str(tmp_path / "logs"), base_learning_rate=1e-3,
+        batch_size=2, accumulate_grad_batches=2, mesh=mesh, max_steps=4,
+        log_every_n_steps=1, ckpt_every_n_steps=None,
+    )
+    z_len = 16
+    trainer.setup(batch_spec={
+        "batch": 2, "z_length": z_len, "n_mels": 16,
+        "mel_length": z_len * 4,
+    })
+
+    note_len, mel_len = z_len * 8, z_len * 4
+    rng = np.random.default_rng(0)
+
+    def micro_batch():
+        return {
+            "note": (rng.random((2, note_len, 16)) > 0.9).astype(np.float32),
+            "audio": 0.1 * rng.standard_normal(
+                (2, mel_len, 16)).astype(np.float32),
+            "feature": np.zeros((2, 21), np.int32),
+            "valid_flag": np.ones((2, note_len), np.float32),
+        }
+
+    def unet_leaf(params):
+        flat = jax.tree_util.tree_leaves(params["params"]["unet_model"])
+        return np.asarray(flat[0]).copy()
+
+    before = unet_leaf(trainer.params)
+    step_key = jax.random.PRNGKey(9)
+
+    def micro_step(batch):
+        dev_batch = trainer._device_batch(batch)
+        trainer.params, trainer.opt_state, loss, _ = trainer._train_step(
+            trainer.params, trainer.opt_state, dev_batch, step_key,
+            trainer.global_step,
+        )
+        return float(np.asarray(loss))
+
+    l1 = micro_step(micro_batch())                  # micro 1: accumulate
+    after1 = unet_leaf(trainer.params)
+    l2 = micro_step(micro_batch())                  # micro 2: apply
+    after2 = unet_leaf(trainer.params)
+
+    assert np.isfinite(l1) and np.isfinite(l2)
+    np.testing.assert_array_equal(before, after1)   # no update yet
+    assert np.abs(after2 - before).max() > 0        # applied after k=2

@@ -368,3 +368,147 @@ def test_unet_parity(torch_ref):
                     jnp.asarray(ctx), [jnp.asarray(a) for a in audios])
     )
     np.testing.assert_allclose(got, want, atol=2e-3, rtol=1e-3)
+
+
+def test_full_sampler_parity_equal_noise(torch_ref):
+    """BASELINE north star: run the reference's DDIMSampler (actual torch
+    code, ddim.py:56-196) and ours over the full CFG loop with IDENTICAL
+    initial noise, weights, and conditioning, and require matching final
+    latents and decoded charts."""
+    import jax
+    import jax.numpy as jnp
+
+    from mug_diffusion_tpu.diffusion.ddim import DDIMSampler as JDDIM
+    from mug_diffusion_tpu.utils.config import instantiate_from_config
+    from mug_diffusion_tpu.utils.torch_import import (
+        convert_reference_checkpoint,
+    )
+
+    torch = torch_ref.torch
+    sys.path.insert(0, REF)
+    try:
+        from mug.diffusion.ddim import DDIMSampler as TDDIM
+        from mug.diffusion.diffusion import DDPM as TDDPM
+    finally:
+        sys.path.pop(0)
+
+    torch.manual_seed(7)
+    dd = dict(x_channels=16, middle_channels=8, z_channels=16,
+              num_groups=4, channel_mult=[1, 2, 4, 4], num_res_blocks=1)
+    unet_cfg = dict(in_channels=16, model_channels=32, out_channels=16,
+                    num_res_blocks=1, attention_resolutions=[2],
+                    channel_mult=[1, 2], num_heads=4, context_dim=32,
+                    s4_layer=False, audio_channels=[32, 32], dropout=0.0)
+    wave_cfg = dict(n_freq=16, middle_channels=32, attention_resolutions=[],
+                    num_res_blocks=1, num_heads=2, num_groups=4,
+                    channel_mult=[1, 1, 1, 1, 1, 1, 1, 1],
+                    use_checkpoint=False, dropout=0.0)
+
+    steps, timesteps, B, z_len, scale = 20, 100, 2, 8, 3.0
+
+    cwd = os.getcwd()
+    os.chdir(REF)
+    try:
+        ddpm_t = TDDPM(
+            unet_config=dict(target="mug.diffusion.unet.UNetModel",
+                             params=unet_cfg),
+            first_stage_config=dict(
+                target="mug.firststage.autoencoder.AutoencoderKL",
+                params=dict(ddconfig=dd,
+                            lossconfig={"target": "torch.nn.Identity"},
+                            kl_weight=0.0)),
+            wave_stage_config=dict(
+                target="mug.cond.wave.MelspectrogramScaleEncoder1D",
+                params=wave_cfg),
+            cond_stage_config=dict(
+                target="mug.cond.feature.BeatmapFeatureEmbedder",
+                params=dict(
+                    path_to_yaml="configs/mug/mania_beatmap_features.yaml",
+                    embed_dim=32)),
+            z_channels=16, z_length=z_len, timesteps=timesteps,
+            parameterization="eps",
+        ).eval()
+    finally:
+        os.chdir(cwd)
+    ddpm_t.device = torch.device("cpu")
+
+    model_config = dict(
+        target="mug_diffusion_tpu.diffusion.ddpm.DDPM",
+        params=dict(
+            timesteps=timesteps, z_channels=16, z_length=z_len,
+            parameterization="eps", loss_type="smooth_l1",
+            compute_dtype="float32",
+            unet_config=dict(
+                target="mug_diffusion_tpu.models.unet.UNetModel",
+                params=unet_cfg),
+            first_stage_config=dict(
+                target="mug_diffusion_tpu.models.autoencoder.AutoencoderKL",
+                params=dict(ddconfig=dd, kl_weight=0.0,
+                            lossconfig="__is_first_stage__")),
+            cond_stage_config=dict(
+                target="mug_diffusion_tpu.models.feature.BeatmapFeatureEmbedder",
+                params=dict(path_to_yaml=SCHEMA, embed_dim=32)),
+            wave_stage_config=dict(
+                target="mug_diffusion_tpu.models.wave.MelspectrogramScaleEncoder1D",
+                params=wave_cfg),
+        ),
+    )
+    ddpm_j = instantiate_from_config(model_config)
+    target = ddpm_j.init_params(
+        jax.random.PRNGKey(0),
+        {"batch": 1, "z_length": z_len, "n_mels": 16,
+         "mel_length": z_len * 64, "num_features": 21},
+    )
+    sd = to_np(ddpm_t.state_dict())
+    variables = convert_reference_checkpoint(sd, model_config, target,
+                                             strict=False)
+
+    # shared inputs
+    rng = np.random.default_rng(3)
+    mel = 0.1 * rng.standard_normal((B, 16, z_len * 64)).astype(np.float32)
+    feat = np.zeros((B, 21), dtype=np.int64)
+    uc_feat = np.ones((B, 21), dtype=np.int64)
+    x_T = rng.standard_normal((B, 16, z_len)).astype(np.float32)
+
+    # reference sampling (channels-first)
+    with torch.no_grad():
+        w_t = ddpm_t.model.wave_model(torch.tensor(mel))
+        c_t = ddpm_t.model.cond_stage_model(torch.tensor(feat))
+        uc_t = ddpm_t.model.cond_stage_model(torch.tensor(uc_feat))
+        samples_t, _ = TDDIM(ddpm_t).sample(
+            S=steps, c=c_t, w=w_t, batch_size=B, shape=(16, z_len),
+            x_T=torch.tensor(x_T), eta=0.0, verbose=False,
+            unconditional_guidance_scale=scale,
+            unconditional_conditioning=uc_t,
+        )
+        dec_t = ddpm_t.model.decode(samples_t).numpy()
+
+    # our sampling (channels-last)
+    mel_j = jnp.asarray(mel.transpose(0, 2, 1))
+    _, w_j = ddpm_j.encode_conditioning(
+        variables, mel_j, jnp.asarray(feat.astype(np.int32)))
+    n_levels = len(unet_cfg["channel_mult"])
+    w_j = list(w_j)[-n_levels:]
+    c_j = ddpm_j.cond_output(variables, jnp.asarray(feat.astype(np.int32)))
+    uc_j = ddpm_j.cond_output(
+        variables, jnp.asarray(uc_feat.astype(np.int32)))
+    samples_j, _ = JDDIM(ddpm_j).sample(
+        S=steps, c=c_j, w=w_j, batch_size=B, params=variables,
+        shape=(16, z_len), x_T=jnp.asarray(x_T.transpose(0, 2, 1)),
+        rng=jax.random.PRNGKey(0), eta=0.0,
+        unconditional_guidance_scale=scale,
+        unconditional_conditioning=uc_j,
+    )
+    dec_j = np.asarray(ddpm_j.decode(variables, samples_j))
+
+    lat_t = samples_t.numpy().transpose(0, 2, 1)
+    lat_j = np.asarray(samples_j)
+    # trajectories accumulate per-step module tolerance over S steps
+    assert np.abs(lat_j - lat_t).max() < 2e-2, np.abs(lat_j - lat_t).max()
+
+    dec_t_cl = dec_t.transpose(0, 2, 1)
+    assert np.abs(dec_j - dec_t_cl).max() < 5e-2
+    # decoded chart agreement: identical note on/off decisions (logits > 0,
+    # data/convertor.py array_to_objects threshold)
+    agree = ((dec_j > 0) == (dec_t_cl > 0)).mean()
+    assert agree > 0.999, agree
