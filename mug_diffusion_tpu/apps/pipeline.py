@@ -371,13 +371,17 @@ class GenerationPipeline:
 
         output_name = "audio.mp3"
         if convert_mp3:
-            proc = subprocess.run(
-                ["ffmpeg", "-hide_banner", "-loglevel", "error", "-y",
-                 "-i", audio_path, "-c:a", "libmp3lame",
-                 os.path.join(save_dir, output_name)],
-                capture_output=True,
-            )
-            if proc.returncode != 0:
+            try:
+                proc = subprocess.run(
+                    ["ffmpeg", "-hide_banner", "-loglevel", "error", "-y",
+                     "-i", audio_path, "-c:a", "libmp3lame",
+                     os.path.join(save_dir, output_name)],
+                    capture_output=True,
+                )
+                failed = proc.returncode != 0
+            except FileNotFoundError:  # ffmpeg not installed
+                failed = True
+            if failed:
                 output_name = f"audio{os.path.splitext(audio_path)[-1]}"
                 shutil.copyfile(
                     audio_path, os.path.join(save_dir, output_name)

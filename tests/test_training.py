@@ -249,15 +249,30 @@ def test_vae_trainer_fit_smoke(data_root, tmp_path):
         validation=dict(target="mug_diffusion_tpu.data.dataset.OsuValidDataset",
                         params={}),
     ).setup()
+    from mug_diffusion_tpu.training.callbacks import BeatmapLogger
+
+    logger = BeatmapLogger(log_batch_idx=[0], count=2)
+    logger.log_index = 1  # next increment hits the %5==2 dump cadence
     trainer = Trainer(
         task=task, logdir=str(tmp_path / "vae_logs"),
         base_learning_rate=cfg["base_learning_rate"], batch_size=2,
         mesh=create_mesh(n_devices=2), max_steps=2, log_every_n_steps=1,
-        ckpt_every_n_steps=None,
+        ckpt_every_n_steps=None, val_every_n_epochs=1, callbacks=[logger],
     )
     trainer.setup(batch_spec={"batch": 2, "note_length": 64})
     trainer.fit(dm)
     assert trainer.global_step == 2
+
+    # drive the VAE round-trip probe on a real val batch (fit with
+    # max_steps=2 returns before the epoch-end validation pass)
+    val_batch = next(iter(dm.val_dataloader()))
+    logger.on_validation_batch_end(trainer, val_batch, 0)
+    recon_root = os.path.join(str(tmp_path / "vae_logs"), "vae_recon")
+    recons = [
+        f for _, _, files in os.walk(recon_root) for f in files
+        if f.endswith("_recon.osu")
+    ]
+    assert recons, "BeatmapLogger VAE dump produced no reconstructions"
 
     # plateau machinery reduces the injected LR after patience bad epochs
     task.plateau_patience = 0

@@ -155,10 +155,21 @@ def build_ui(pipeline: GenerationPipeline, template_path: str):
         )
         prompt = ", ".join(f"{k}={v}" for k, v in h_dict.items())
 
-        decoded, z_length = pipeline.sample_charts(
-            audioPath, feature_dict, count=int(count), steps=int(step),
-            scale=float(scale), seed=seed,
-        )
+        try:
+            decoded, z_length = pipeline.sample_charts(
+                audioPath, feature_dict, count=int(count), steps=int(step),
+                scale=float(scale), seed=seed,
+            )
+        except Exception as e:  # user-facing OOM/driver errors (ref
+            # webui.py:468-471) — resource exhaustion should suggest a fix,
+            # anything else surfaces as a readable error instead of a 500
+            msg = str(e)
+            if "RESOURCE_EXHAUSTED" in msg or "out of memory" in msg.lower():
+                raise gr.Error(
+                    "Out of device memory — reduce the chart count or use a "
+                    "shorter audio file."
+                )
+            raise gr.Error(f"Generation failed: {msg[:300]}")
         save_name = f"{audioArtist} - {audioTitle}"
         save_dir = os.path.join(output_path, save_name)
         shutil.rmtree(save_dir, ignore_errors=True)
@@ -215,6 +226,32 @@ def build_ui(pipeline: GenerationPipeline, template_path: str):
             raise gr.Error(str(e))
         return gr.update(value=result)
 
+    def autofill_tags(audio_file):
+        """Fill title/artist from the uploaded file's ID3 tags (eyed3 when
+        available, ref webui.py:518-528), else from the 'Artist - Title'
+        filename convention."""
+        if audio_file is None:
+            return gr.update(), gr.update()
+        path = (audio_file.name if hasattr(audio_file, "name")
+                else str(audio_file))
+        title_v, artist_v = "", ""
+        try:
+            import eyed3
+
+            meta = eyed3.load(path)
+            if meta is not None and meta.tag is not None:
+                title_v = meta.tag.title or ""
+                artist_v = meta.tag.artist or ""
+        except ImportError:
+            pass
+        if not title_v:
+            stem = os.path.splitext(os.path.basename(path))[0]
+            if " - " in stem:
+                artist_v, title_v = stem.split(" - ", 1)
+            else:
+                title_v = stem
+        return gr.update(value=title_v), gr.update(value=artist_v)
+
     def pattern_block(name, default_msd=17):
         with gr.Row():
             sw = gr.Checkbox(label=f"{name}")
@@ -231,6 +268,8 @@ def build_ui(pipeline: GenerationPipeline, template_path: str):
             audio = gr.File(label="Audio file")
             title = gr.Textbox(label="Audio title")
             artist = gr.Textbox(label="Audio artist")
+            audio.upload(autofill_tags, inputs=[audio],
+                         outputs=[title, artist], api_name="autofill_tags")
             with gr.Row():
                 rss = gr.Checkbox(label="style switch")
                 rs = gr.Radio(
