@@ -179,3 +179,47 @@ def test_chart2prompt(tmp_path):
         assert result["MSD score (Etterna)"] > 0
     except ImportError:
         pass
+
+
+def test_mapping_cli_end_to_end(tmp_path):
+    """Drive the actual CLI entry (scripts/mapping.py, ref mapping.py:443-520)
+    from argv to .osz on disk."""
+    import sys
+    import wave as wave_mod
+    import zipfile
+
+    import yaml
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "scripts"))
+    import mapping
+
+    cfg = tiny_config()
+    cfg_path = str(tmp_path / "model.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+
+    sr = 22050
+    t = np.arange(int(2.0 * sr)) / sr
+    y = (0.4 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    wav = str(tmp_path / "song.wav")
+    with wave_mod.open(wav, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes((y * 32767).astype(np.int16).tobytes())
+
+    template = os.path.join(os.path.dirname(__file__), "..", "assets",
+                            "template.osu")
+    outdir = str(tmp_path / "out")
+    mapping.main([
+        "--audio", wav, "--audio_title", "Song", "--audio_artist", "Artist",
+        "--model_config", cfg_path, "--ckpt", str(tmp_path / "nonexistent"),
+        "--template_beatmap", template, "--outdir", outdir,
+        "--ddim_steps", "4", "--n_samples", "2", "--scale", "1.0",
+        "--prompt_dir", str(tmp_path),
+    ])
+    osz = os.path.join(outdir, "Artist - Song.osz")
+    assert os.path.isfile(osz)
+    names = zipfile.ZipFile(osz).namelist()
+    assert sum(n.endswith(".osu") for n in names) == 2
