@@ -315,6 +315,25 @@ class GenerationPipeline:
         feature = self.encode_prompt(list(feature_dicts), n)
         uc_feature = self.encode_prompt({}, n)
 
+        if True:  # fused multi-song path (single dispatch; see apps/serving)
+            from mug_diffusion_tpu.apps.serving import build_fused_generate
+
+            key = ("batched", steps, scale, n, z_length)
+            if not hasattr(self, "_fused_cache"):
+                self._fused_cache = {}
+            if key not in self._fused_cache:
+                self._fused_cache[key] = build_fused_generate(
+                    self.model, steps=steps, scale=scale, count=n,
+                    z_length=z_length, mel_frames=frames, sr=self.sr,
+                    n_mels=self.n_mels, n_fft=self.n_fft,
+                    input_kind="mel_batch",
+                )
+            decoded = self._fused_cache[key](
+                self.params, jnp.asarray(batch), feature, uc_feature,
+                jax.random.PRNGKey(seed),
+            )
+            return np.asarray(decoded).transpose(0, 2, 1), z_length
+
         c, w = self.model.encode_conditioning(self.params, audio, feature)
         n_levels = len(self.model.model.unet_config["params"]["channel_mult"])
         w = list(w)[-n_levels:]

@@ -67,7 +67,7 @@ def build_fused_generate(
     n_levels = len(ddpm.model.unet_config["params"]["channel_mult"])
     wrapper_cls = type(ddpm.model)
 
-    assert input_kind in ("wave", "mel")
+    assert input_kind in ("wave", "mel", "mel_batch")
 
     @jax.jit
     def generate(params, audio_in, feature, uc_feature, rng):
@@ -76,12 +76,14 @@ def build_fused_generate(
                 audio_in, sr=sr, n_mels=n_mels, hop_length=n_fft // 4,
                 n_fft=n_fft, max_frames=mel_frames,
             )
-        else:  # precomputed [n_mels, T] mel
-            mel = audio_in
-        audio1 = mel.T[None]  # [1, T_mel, n_mels]
+            audio = mel.T[None]  # [1, T_mel, n_mels]
+        elif input_kind == "mel":  # one song, [n_mels, T]
+            audio = audio_in.T[None]
+        else:  # "mel_batch": one mel per sample, [count, n_mels, T]
+            audio = audio_in.transpose(0, 2, 1)
 
         def encode_all(module):
-            w1 = module.wave_output(audio1)
+            w1 = module.wave_output(audio)
             if not isinstance(w1, (list, tuple)):
                 w1 = [w1]
             c = module.cond_output(feature)
@@ -89,6 +91,8 @@ def build_fused_generate(
             return list(w1), c, uc
 
         w1, c, uc = ddpm.model.apply(params, method=encode_all)
+        # single-song kinds encode the audio once at batch 1 and broadcast
+        # the (small) deep scales to all samples; mel_batch is already [n,..]
         w = [
             jnp.broadcast_to(wi, (count,) + wi.shape[1:]).astype(jnp.float32)
             for wi in list(w1)[-n_levels:]
