@@ -20,6 +20,7 @@ memory traffic, and no [S, B, T, C] trajectory is ever materialized.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Optional
 
 import jax
@@ -44,6 +45,8 @@ def build_fused_generate(
     n_mels: int = 128,
     n_fft: int = 512,
     input_kind: str = "wave",
+    mesh=None,
+    data_axis: str = "data",
 ):
     """Returns jitted ``generate(params, wave_samples, feature, uc_feature,
     rng) -> decoded [count, z_length*8, 16]``.
@@ -51,6 +54,14 @@ def build_fused_generate(
     wave_samples: raw 1-D PCM at the config sample rate (padded/truncated on
     device to ``mel_frames`` mel frames). feature/uc_feature: [count, F]
     embedding ids.
+
+    When ``mesh`` is given (a ``jax.sharding.Mesh`` with a ``data_axis``
+    axis), the sample batch — noise, conditioning, the whole CFG-doubled
+    DDIM scan, and the VAE decode — is sharded over that axis (SPMD data
+    parallelism over ICI; params replicated). ``count`` must be divisible by
+    the axis size. The reference has no multi-GPU inference at all
+    (webui.py serves on one device); here one fused executable scales the
+    chart batch across a TPU pod slice.
     """
     mel_frames = mel_frames or z_length * 64
     sampler = DDIMSampler(ddpm)
@@ -69,7 +80,34 @@ def build_fused_generate(
 
     assert input_kind in ("wave", "mel", "mel_batch")
 
-    @jax.jit
+    jit_kwargs = {}
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        n_shard = mesh.shape[data_axis]
+        if count % n_shard != 0:
+            raise ValueError(
+                f"count={count} not divisible by mesh '{data_axis}' axis "
+                f"size {n_shard}"
+            )
+        batch_sh = NamedSharding(mesh, PartitionSpec(data_axis))
+        rep_sh = NamedSharding(mesh, PartitionSpec())
+
+        def shard(a):
+            return jax.lax.with_sharding_constraint(
+                a, NamedSharding(mesh, PartitionSpec(data_axis))
+            )
+
+        audio_sh = batch_sh if input_kind == "mel_batch" else rep_sh
+        jit_kwargs = dict(
+            in_shardings=(rep_sh, audio_sh, batch_sh, batch_sh, rep_sh),
+            out_shardings=batch_sh,
+        )
+    else:
+        def shard(a):
+            return a
+
+    @partial(jax.jit, **jit_kwargs)
     def generate(params, audio_in, feature, uc_feature, rng):
         if input_kind == "wave":  # raw PCM -> mel on device
             mel = melspectrogram_on_device(
@@ -94,20 +132,27 @@ def build_fused_generate(
         # single-song kinds encode the audio once at batch 1 and broadcast
         # the (small) deep scales to all samples; mel_batch is already [n,..]
         w = [
-            jnp.broadcast_to(wi, (count,) + wi.shape[1:]).astype(jnp.float32)
+            shard(
+                jnp.broadcast_to(
+                    wi, (count,) + wi.shape[1:]
+                ).astype(jnp.float32)
+            )
             for wi in list(w1)[-n_levels:]
         ]
 
         rng, rng_init = jax.random.split(rng)
         size = (count, z_length, ddpm.z_channels)
-        x = jax.random.normal(rng_init, size)
-        c_in = jnp.concatenate([uc, c], axis=0) if use_cfg else c
-        w_in = [jnp.concatenate([wi, wi], axis=0) for wi in w] if use_cfg else w
+        x = shard(jax.random.normal(rng_init, size))
+        c_in = shard(jnp.concatenate([uc, c], axis=0)) if use_cfg else shard(c)
+        w_in = (
+            [shard(jnp.concatenate([wi, wi], axis=0)) for wi in w]
+            if use_cfg else w
+        )
 
         # materialize the L-specific S4 conv kernels ONCE (one extra U-Net
         # forward) — XLA does not hoist their FFT math out of the scan
         B_in = size[0] * (2 if use_cfg else 1)
-        x_probe = jnp.zeros((B_in,) + size[1:])
+        x_probe = shard(jnp.zeros((B_in,) + size[1:]))
         t_probe = jnp.zeros((B_in,), jnp.int32)
         _, s4k = ddpm.model.apply(
             params, x_probe, t_probe, c_in, w_in, mutable=["s4_kernel"]
@@ -123,6 +168,13 @@ def build_fused_generate(
         decoded = ddpm.model.apply(
             params, x_final, method=wrapper_cls.decode
         )
+        if out_dtype == jnp.int8:
+            # quantized readback: x*64 at int8 keeps the logit signs exact
+            # (note placement) and offsets to 1/64 frame (~0.7 ms) — the
+            # consumer dequantizes with /64 (pipeline.sample_charts)
+            return jnp.round(
+                jnp.clip(decoded * 64.0, -127.0, 127.0)
+            ).astype(jnp.int8)
         return decoded.astype(out_dtype)
 
     return generate

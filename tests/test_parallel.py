@@ -258,3 +258,50 @@ def test_trainer_multidevice_grad_accumulation(tmp_path):
     assert np.isfinite(l1) and np.isfinite(l2)
     np.testing.assert_array_equal(before, after1)   # no update yet
     assert np.abs(after2 - before).max() > 0        # applied after k=2
+
+
+def test_sharded_fused_generate_matches_unsharded():
+    """Multi-chip serving: the fused single-dispatch generation path with
+    the chart batch sharded over a 4-device 'data' mesh must reproduce the
+    single-device result exactly (SPMD partitioning is numerics-preserving;
+    the reference has no multi-GPU inference at all — webui.py:369 runs on
+    one device)."""
+    from mug_diffusion_tpu.apps.serving import build_fused_generate
+    from mug_diffusion_tpu.utils.config import instantiate_from_config
+
+    from tests.test_pipeline import tiny_config
+
+    ddpm = instantiate_from_config(tiny_config()["model"])
+    params = ddpm.init_params(
+        jax.random.PRNGKey(7), {"batch": 1, "z_length": 8, "n_mels": 16}
+    )
+
+    count, steps, z_length = 4, 4, 8
+    mel_frames = z_length * 8 * 8
+    wave_samples = jnp.asarray(
+        0.05 * np.random.RandomState(0).randn(mel_frames * 16)
+    ).astype(jnp.float32)
+    feature = jnp.zeros((count, 21), jnp.int32)
+    uc_feature = jnp.ones((count, 21), jnp.int32)
+    rng = jax.random.PRNGKey(5)
+    kwargs = dict(
+        steps=steps, scale=3.0, count=count, z_length=z_length,
+        mel_frames=mel_frames, n_mels=16, n_fft=64,
+    )
+
+    ref = np.asarray(
+        build_fused_generate(ddpm, **kwargs)(
+            params, wave_samples, feature, uc_feature, rng
+        )
+    )
+
+    mesh = create_mesh(n_devices=4, axes=("data",))
+    fused_sharded = build_fused_generate(ddpm, mesh=mesh, **kwargs)
+    out = fused_sharded(params, wave_samples, feature, uc_feature, rng)
+    assert out.sharding.is_equivalent_to(batch_sharding(mesh), ndim=out.ndim)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
+
+    # count not divisible by the axis -> loud error, not silent misbatch
+    with pytest.raises(ValueError):
+        build_fused_generate(ddpm, mesh=mesh, count=3, steps=steps,
+                             scale=3.0, z_length=z_length)
