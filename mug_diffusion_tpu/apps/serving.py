@@ -47,6 +47,7 @@ def build_fused_generate(
     input_kind: str = "wave",
     mesh=None,
     data_axis: str = "data",
+    shard_wave_time: bool = False,
 ):
     """Returns jitted ``generate(params, wave_samples, feature, uc_feature,
     rng) -> decoded [count, z_length*8, 16]``.
@@ -62,6 +63,14 @@ def build_fused_generate(
     the axis size. The reference has no multi-GPU inference at all
     (webui.py serves on one device); here one fused executable scales the
     chart batch across a TPU pod slice.
+
+    ``shard_wave_time=True`` additionally shards the wave-encoder pyramid
+    over its TIME axis (the SURVEY §2.4 sequence-sharding stretch goal):
+    the encoder runs once per song at batch 1 over 32768 mel frames, so
+    batch sharding alone leaves it replicated — time sharding splits that
+    work across the mesh, with XLA/GSPMD inserting the conv halo exchanges
+    and attention all-gathers over ICI automatically. The features are
+    then resharded to the batch axis for the DDIM scan.
     """
     mel_frames = mel_frames or z_length * 64
     sampler = DDIMSampler(ddpm)
@@ -98,6 +107,17 @@ def build_fused_generate(
                 a, NamedSharding(mesh, PartitionSpec(data_axis))
             )
 
+        if shard_wave_time:
+            time_sh = NamedSharding(
+                mesh, PartitionSpec(None, data_axis)
+            )
+
+            def shard_time(a):  # [B, T, C] -> split T over the mesh
+                return jax.lax.with_sharding_constraint(a, time_sh)
+        else:
+            def shard_time(a):
+                return a
+
         audio_sh = batch_sh if input_kind == "mel_batch" else rep_sh
         jit_kwargs = dict(
             in_shardings=(rep_sh, audio_sh, batch_sh, batch_sh, rep_sh),
@@ -105,6 +125,9 @@ def build_fused_generate(
         )
     else:
         def shard(a):
+            return a
+
+        def shard_time(a):
             return a
 
     @partial(jax.jit, **jit_kwargs)
@@ -120,10 +143,15 @@ def build_fused_generate(
         else:  # "mel_batch": one mel per sample, [count, n_mels, T]
             audio = audio_in.transpose(0, 2, 1)
 
+        audio = shard_time(audio)
+
         def encode_all(module):
             w1 = module.wave_output(audio)
             if not isinstance(w1, (list, tuple)):
                 w1 = [w1]
+            # pin every scale to time-sharded so GSPMD keeps the whole
+            # pyramid split over the sequence axis (no-op when disabled)
+            w1 = [shard_time(wi) for wi in w1]
             c = module.cond_output(feature)
             uc = module.cond_output(uc_feature) if use_cfg else None
             return list(w1), c, uc

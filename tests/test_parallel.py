@@ -301,6 +301,15 @@ def test_sharded_fused_generate_matches_unsharded():
     assert out.sharding.is_equivalent_to(batch_sharding(mesh), ndim=out.ndim)
     np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
 
+    # sequence sharding of the wave pyramid (SURVEY §2.4 stretch goal):
+    # GSPMD splits the encoder's time axis (conv halos + attention gathers
+    # inserted automatically), then reshards to the batch axis for the scan
+    fused_seq = build_fused_generate(
+        ddpm, mesh=mesh, shard_wave_time=True, **kwargs
+    )
+    out_seq = fused_seq(params, wave_samples, feature, uc_feature, rng)
+    np.testing.assert_allclose(np.asarray(out_seq), ref, atol=1e-5)
+
     # count not divisible by the axis -> loud error, not silent misbatch
     with pytest.raises(ValueError):
         build_fused_generate(ddpm, mesh=mesh, count=3, steps=steps,
