@@ -115,6 +115,9 @@ def main(argv=None):
         base_learning_rate=model_config.get("base_learning_rate", 1e-4),
         batch_size=data_config["params"]["batch_size"],
         accumulate_grad_batches=trainer_cfg.get("accumulate_grad_batches", 1),
+        val_every_n_epochs=trainer_cfg.get("val_every_n_epochs", 1),
+        ckpt_every_n_steps=trainer_cfg.get("ckpt_every_n_steps", 10000),
+        log_every_n_steps=trainer_cfg.get("log_every_n_steps", 50),
         max_epochs=opt.max_epochs,
         max_steps=opt.max_steps,
         mesh=mesh,
