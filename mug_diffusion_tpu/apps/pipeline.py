@@ -44,9 +44,16 @@ Z_LENGTH_BUCKETS = (128, 192, 256, 320, 384, 448, 512, 640, 768, 1024)
 class GenerationPipeline:
     z_length_buckets = Z_LENGTH_BUCKETS
 
-    def __init__(self, config: dict, params=None, ckpt_path: Optional[str] = None):
-        """config: full layered config (model + data sections)."""
+    def __init__(self, config: dict, params=None,
+                 ckpt_path: Optional[str] = None, mesh=None):
+        """config: full layered config (model + data sections).
+
+        mesh: optional ``jax.sharding.Mesh`` with a 'data' axis — serving
+        then shards each request's chart batch across the mesh and
+        sequence-shards the wave encoder (apps/serving.py); requests whose
+        count doesn't divide the axis fall back to single-device."""
         self.config = config
+        self.mesh = mesh
         self.model = instantiate_from_config(config["model"])  # DDPM
         self.sampler = DDIMSampler(self.model)
 
@@ -87,11 +94,20 @@ class GenerationPipeline:
                     )
                 }
 
+    def _mesh_for(self, count: int):
+        """The pipeline mesh when the request batch divides its data axis
+        (production callers pad request batches; odd counts fall back to
+        single-device rather than erroring)."""
+        if self.mesh is not None and count % self.mesh.shape["data"] == 0:
+            return self.mesh
+        return None
+
     def _fused(self, steps: int, scale: float, count: int, z_length: int):
         """Cached fused single-dispatch generator per request signature."""
         from mug_diffusion_tpu.apps.serving import build_fused_generate
 
-        key = (steps, scale, count, z_length)
+        mesh = self._mesh_for(count)
+        key = (steps, scale, count, z_length, mesh is not None)
         if not hasattr(self, "_fused_cache"):
             self._fused_cache = {}
         if key not in self._fused_cache:
@@ -101,6 +117,7 @@ class GenerationPipeline:
                 z_length=z_length, mel_frames=z_length * ratio,
                 sr=self.sr, n_mels=self.n_mels, n_fft=self.n_fft,
                 input_kind="mel",
+                mesh=mesh, shard_wave_time=mesh is not None,
             )
         return self._fused_cache[key]
 
@@ -310,45 +327,28 @@ class GenerationPipeline:
             ],
             axis=0,
         )  # [n, n_mels, frames]
-        audio = jnp.asarray(batch.transpose(0, 2, 1))
         n = len(audio_paths)
         feature = self.encode_prompt(list(feature_dicts), n)
         uc_feature = self.encode_prompt({}, n)
 
-        if True:  # fused multi-song path (single dispatch; see apps/serving)
-            from mug_diffusion_tpu.apps.serving import build_fused_generate
+        # fused multi-song path (single dispatch; see apps/serving)
+        from mug_diffusion_tpu.apps.serving import build_fused_generate
 
-            key = ("batched", steps, scale, n, z_length)
-            if not hasattr(self, "_fused_cache"):
-                self._fused_cache = {}
-            if key not in self._fused_cache:
-                self._fused_cache[key] = build_fused_generate(
-                    self.model, steps=steps, scale=scale, count=n,
-                    z_length=z_length, mel_frames=frames, sr=self.sr,
-                    n_mels=self.n_mels, n_fft=self.n_fft,
-                    input_kind="mel_batch",
-                )
-            decoded = self._fused_cache[key](
-                self.params, jnp.asarray(batch), feature, uc_feature,
-                jax.random.PRNGKey(seed),
+        mesh = self._mesh_for(n)
+        key = ("batched", steps, scale, n, z_length, mesh is not None)
+        if not hasattr(self, "_fused_cache"):
+            self._fused_cache = {}
+        if key not in self._fused_cache:
+            self._fused_cache[key] = build_fused_generate(
+                self.model, steps=steps, scale=scale, count=n,
+                z_length=z_length, mel_frames=frames, sr=self.sr,
+                n_mels=self.n_mels, n_fft=self.n_fft,
+                input_kind="mel_batch", mesh=mesh,
             )
-            return np.asarray(decoded).transpose(0, 2, 1), z_length
-
-        c, w = self.model.encode_conditioning(self.params, audio, feature)
-        n_levels = len(self.model.model.unet_config["params"]["channel_mult"])
-        w = list(w)[-n_levels:]
-        uc = None
-        if scale != 1.0:
-            uc = self.model.cond_output(self.params, uc_feature)
-
-        samples, _ = self.sampler.sample(
-            S=steps, c=c, w=w, batch_size=n, params=self.params,
-            shape=(self.model.z_channels, z_length),
-            rng=jax.random.PRNGKey(seed),
-            unconditional_guidance_scale=scale,
-            unconditional_conditioning=uc,
+        decoded = self._fused_cache[key](
+            self.params, jnp.asarray(batch), feature, uc_feature,
+            jax.random.PRNGKey(seed),
         )
-        decoded = self.model.decode(self.params, samples)
         return np.asarray(decoded).transpose(0, 2, 1), z_length
 
     # ------------------------------------------------------ serialization
