@@ -296,7 +296,11 @@ class OsuDataset:
                     else:
                         audio = np.concatenate([zeros, audio[:-shift, :]], axis=0)
 
-                example["audio"] = audio.T.astype(np.float32)  # [Tmel, 128]
+                # fp16 over the host->device link: the mel cache is fp16
+                # anyway (ref mug/util.py:143) and a batch-48 mel batch is
+                # 805 MB at fp32 — the single biggest transfer in training.
+                # DDPM.wave_output upcasts before the encoder (ddpm.py:50).
+                example["audio"] = audio.T.astype(np.float16)  # [Tmel, 128]
 
             if self.with_feature:
                 _, feature = self.load_feature(

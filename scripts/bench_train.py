@@ -128,6 +128,17 @@ def main():
                                    jax.random.PRNGKey(1))
     float(np.asarray(loss))  # force completion (see module docstring)
 
+    # analytic FLOPs of one train step (fwd+bwd+optimizer) for MFU
+    try:
+        comp = jax.jit(step).lower(params, opt_state, batch,
+                                   jax.random.PRNGKey(1)).compile()
+        ca = comp.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        step_flops = float(ca.get("flops", 0.0)) or None
+    except Exception:
+        step_flops = None
+
     t0 = time.time()
     for i in range(n):
         params, opt_state, loss = step(params, opt_state, batch,
@@ -149,6 +160,15 @@ def main():
             "batch": B,
             "charts_per_sec_per_chip": round(B / dt, 1),
             "hbm_peak_gb": hbm_peak_gb,
+            "tflops_per_step": (
+                round(step_flops / 1e12, 2) if step_flops else None
+            ),
+            "mfu": (
+                round(step_flops / dt / 1.97e14, 4)
+                if (step_flops and "v5" in
+                    jax.devices()[0].device_kind.lower())
+                else None
+            ),
             "loss_finite": bool(np.isfinite(final)),
             "loader_items_per_sec": loader_throughput(),
             "device": str(jax.devices()[0]),
