@@ -49,20 +49,34 @@ class DiffusionTask:
 
     def validation_metrics(self, params, batch, rng, batch_idx: int):
         """Stratified noise-decile validation (ref: diffusion.py:433-458)."""
-        metrics = {}
-        _, loss_dict = self.model.loss_fn(params, batch, rng, train=False)
-        metrics.update(loss_dict)
         level = batch_idx % 10
         min_step = int(level / 10 * self.model.num_timesteps)
         max_step = int((level + 1) / 10 * self.model.num_timesteps)
+        metrics = self.validation_metrics_traced(
+            params, batch, rng, min_step, max_step
+        )
+        metrics[f"loss_level_{level}"] = metrics.pop("loss_level")
+        return metrics
+
+    def validation_metrics_traced(self, params, batch, rng, min_step,
+                                  max_step):
+        """Same metrics with the decile bounds as TRACED scalars, so the
+        whole validation step is ONE compiled executable instead of one per
+        decile (each cold compile of the live model costs minutes on TPU;
+        see docs/PERF.md). The decile loss comes back under the generic key
+        'loss_level' — the caller renames it."""
+        metrics = {}
+        _, loss_dict = self.model.loss_fn(params, batch, rng, train=False)
+        metrics.update(loss_dict)
         loss_all, _ = self.model.loss_fn(
             params, batch, rng, all_noise=True, train=False
         )
         metrics["loss_level_all"] = loss_all
         loss_lvl, _ = self.model.loss_fn(
-            params, batch, rng, min_step=min_step, max_step=max_step, train=False
+            params, batch, rng, min_step=min_step, max_step=max_step,
+            train=False,
         )
-        metrics[f"loss_level_{level}"] = loss_lvl
+        metrics["loss_level"] = loss_lvl
         return metrics
 
     def make_optimizer(self, params, learning_rate: float):

@@ -20,6 +20,7 @@ import traceback
 from typing import Any, Dict, List, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import optax
 
@@ -228,14 +229,38 @@ class Trainer:
             donate_argnums=(0, 1),
         )
 
-        # jitted with the noise-decile level static (10 variants max);
-        # eager flax dispatch would also materialize complex S4 constants
-        # on-device, which the remote-TPU tunnel cannot transfer
+        # one jitted executable for ALL noise-decile levels (bounds traced;
+        # a static level would compile the live model up to 10 times at
+        # minutes each on TPU). Jitting also avoids eager flax dispatch,
+        # which would materialize complex S4 constants on-device — the
+        # remote-TPU tunnel cannot transfer those.
         import functools
 
-        @functools.partial(jax.jit, static_argnums=(3,))
-        def val_step(params, batch, rng, level):
-            return task.validation_metrics(params, batch, rng, level)
+        if hasattr(task, "validation_metrics_traced"):
+
+            @jax.jit
+            def val_step_traced(params, batch, rng, min_step, max_step):
+                return task.validation_metrics_traced(
+                    params, batch, rng, min_step, max_step
+                )
+
+            num_t = task.model.num_timesteps
+
+            def val_step(params, batch, rng, level):
+                lo = int(level / 10 * num_t)
+                hi = int((level + 1) / 10 * num_t)
+                metrics = val_step_traced(
+                    params, batch, rng, jnp.int32(lo), jnp.int32(hi)
+                )
+                metrics = dict(metrics)
+                metrics[f"loss_level_{level}"] = metrics.pop("loss_level")
+                return metrics
+
+        else:  # tasks without decile stratification (VAE, test stubs)
+
+            @functools.partial(jax.jit, static_argnums=(3,))
+            def val_step(params, batch, rng, level):
+                return task.validation_metrics(params, batch, rng, level)
 
         self._val_step = val_step
 
