@@ -105,3 +105,39 @@ def test_fused_generate_matches_modular_sampler():
     assert np.allclose(out_fused, out_mod, atol=5e-5), (
         np.abs(out_fused - out_mod).max()
     )
+
+
+def test_int8_quantized_readback_semantics():
+    """out_dtype=int8 serving output: logit signs preserved (note
+    placement identical) and offset planes within 1/64 frame of fp32."""
+    import jax
+
+    from mug_diffusion_tpu.apps.serving import build_fused_generate
+
+    ddpm, params = _build("float32")
+    count, steps, z_length = 2, 3, 8
+    mel_frames = z_length * 8 * 8
+    wave = jnp.asarray(
+        0.05 * np.random.RandomState(1).randn(mel_frames * 16)
+    ).astype(jnp.float32)
+    feature = jnp.zeros((count, 21), jnp.int32)
+    ucf = jnp.ones((count, 21), jnp.int32)
+    kw = dict(steps=steps, scale=3.0, count=count, z_length=z_length,
+              mel_frames=mel_frames, n_mels=16, n_fft=64)
+    rng = jax.random.PRNGKey(4)
+
+    f32 = np.asarray(
+        build_fused_generate(ddpm, **kw)(params, wave, feature, ucf, rng)
+    )
+    q8 = np.asarray(
+        build_fused_generate(ddpm, out_dtype=jnp.int8, **kw)(
+            params, wave, feature, ucf, rng
+        )
+    )
+    assert q8.dtype == np.int8
+    deq = q8.astype(np.float32) / 64.0
+    # sign agreement outside a +-1-quantum dead zone around 0
+    confident = np.abs(f32) > (1.5 / 64.0)
+    assert ((deq > 0) == (f32 > 0))[confident].all()
+    off = np.abs(np.clip(deq, -1, 1) - np.clip(f32, -1, 1))
+    assert off.max() <= (1.0 / 64.0) + 1e-6, off.max()
