@@ -78,6 +78,7 @@ class OsuDataset:
         with_audio=False,
         with_feature=False,
         cache_dir=None,
+        length_buckets=None,
     ):
         txt_file_paths = [txt_file] if isinstance(txt_file, str) else txt_file
         self.beatmap_paths: List[str] = []
@@ -124,6 +125,21 @@ class OsuDataset:
         self.max_audio_frame = max_audio_frame
         self.n_fft = n_fft
         self.max_duration = self.audio_frame_duration * max_audio_frame
+        # length-bucketed examples (NOTE frames, ascending, each a divisor-
+        # friendly multiple of 8*note_window so the VAE/wave pyramids tile):
+        # a chart is cropped to the smallest bucket covering its valid
+        # window instead of always padding to max_audio_frame. The Loader
+        # then groups batches per bucket — the reference pads every song to
+        # ~190 s ([128, 32768] mel, mug_diffusion.yaml:101-113), spending
+        # 4x the FLOPs + transfer on a 45 s song. None disables (= ref
+        # behavior).
+        self.length_buckets = (
+            sorted(int(b) for b in length_buckets) if length_buckets else None
+        )
+        if self.length_buckets:
+            assert self.length_buckets[-1] == self.convertor_params[
+                "max_frame"
+            ], "largest bucket must equal max_audio_frame/ratio"
         self.cache_dir = cache_dir
         self.error_files: List[str] = []
         if cache_dir is not None:
@@ -241,11 +257,19 @@ class OsuDataset:
             obj_array, valid_flag = beatmap_meta.convertor.objects_to_array(
                 objs, beatmap_meta
             )
+            nb = None  # bucketed note-frame count (None = full max_frame)
+            if self.length_buckets:
+                nz = np.nonzero(valid_flag)[0]
+                needed = int(nz.max()) + 1 if nz.size else 1
+                nb = next(
+                    (b for b in self.length_buckets if b >= needed),
+                    self.length_buckets[-1],
+                )
             example = {
                 "meta": beatmap_meta.for_batch(),
                 "convertor": convertor_params,
-                "note": obj_array.T.astype(np.float32),  # [T, 4K]
-                "valid_flag": valid_flag.astype(np.float32),
+                "note": obj_array.T[:nb].astype(np.float32),  # [T, 4K]
+                "valid_flag": valid_flag[:nb].astype(np.float32),
             }
             if self.with_audio:
                 audio = load_audio(
@@ -296,6 +320,9 @@ class OsuDataset:
                     else:
                         audio = np.concatenate([zeros, audio[:-shift, :]], axis=0)
 
+                if nb is not None:  # crop to the item's length bucket
+                    audio = audio[:, : nb * self.audio_note_window_ratio]
+
                 # fp16 over the host->device link: the mel cache is fp16
                 # anyway (ref mug/util.py:143) and a batch-48 mel batch is
                 # 805 MB at fp32 — the single biggest transfer in training.
@@ -330,6 +357,21 @@ class OsuValidDataset(OsuDataset):
 
 
 TENSOR_KEYS = ("note", "valid_flag", "audio", "feature")
+
+
+def _pad_example_to(e: dict, note_frames: int, ratio: int) -> dict:
+    """Zero-pad an example's time axes up to ``note_frames`` (used to merge
+    leftover bucketed items into one batch)."""
+    cur = e["note"].shape[0]
+    if cur >= note_frames:
+        return e
+    out = dict(e)
+    pad = note_frames - cur
+    out["note"] = np.pad(e["note"], ((0, pad), (0, 0)))
+    out["valid_flag"] = np.pad(e["valid_flag"], (0, pad))
+    if "audio" in e:
+        out["audio"] = np.pad(e["audio"], ((0, pad * ratio), (0, 0)))
+    return out
 
 
 def collate(examples: List[dict]) -> dict:
@@ -370,6 +412,10 @@ class Loader:
             rng.shuffle(order)
         self.epoch += 1
 
+        if getattr(self.dataset, "length_buckets", None):
+            yield from self._iter_bucketed(order)
+            return
+
         def chunks():
             for s in range(0, len(order), self.batch_size):
                 idx = order[s : s + self.batch_size]
@@ -387,3 +433,43 @@ class Loader:
                     yield collate(list(pending.pop(0)))
             for p in pending:
                 yield collate(list(p))
+
+    def _iter_bucketed(self, order) -> Iterator[dict]:
+        """Group batches by the items' length bucket so every batch is a
+        homogeneous static shape (one compiled train step per bucket).
+        Leftovers at epoch end are padded up to their largest bucket and
+        emitted together unless drop_last."""
+        from collections import defaultdict, deque
+        from concurrent.futures import FIRST_COMPLETED, wait
+
+        pools: dict = defaultdict(list)
+        with ThreadPoolExecutor(self.num_workers) as pool:
+            window = max(2 * self.batch_size, 2 * self.num_workers)
+            futures: deque = deque()
+            idx_iter = iter(order)
+
+            def drain(block: bool):
+                while futures and (block or futures[0].done()):
+                    ex = futures.popleft().result()
+                    b = ex["note"].shape[0]
+                    pools[b].append(ex)
+                    if len(pools[b]) == self.batch_size:
+                        yield collate(pools.pop(b))
+
+            for i in idx_iter:
+                futures.append(pool.submit(self.dataset.__getitem__, int(i)))
+                if len(futures) >= window:
+                    wait(futures, return_when=FIRST_COMPLETED)
+                    yield from drain(block=False)
+            yield from drain(block=True)
+
+        if self.drop_last:
+            return
+        rest = [e for b in sorted(pools) for e in pools[b]]
+        if not rest:
+            return
+        target = max(e["note"].shape[0] for e in rest)
+        ratio = self.dataset.audio_note_window_ratio
+        rest = [_pad_example_to(e, target, ratio) for e in rest]
+        for s in range(0, len(rest), self.batch_size):
+            yield collate(rest[s : s + self.batch_size])

@@ -1,0 +1,117 @@
+"""Length-bucketed training batches.
+
+The reference pads every song's mel to [128, 32768] (~190 s)
+(ref configs/mug/mug_diffusion.yaml:101-113, mug/data/dataset.py:228-244),
+so a 45 s chart costs 4x its share of FLOPs and host->device bytes. With
+``length_buckets`` the dataset crops each example to the smallest bucket
+covering its valid window and the Loader groups homogeneous batches per
+bucket (one compiled train step per bucket, XLA persistent-cached).
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from mug_diffusion_tpu.data.dataset import Loader, OsuDataset  # noqa: E402
+from scripts.make_synthetic_dataset import write_set  # noqa: E402
+
+BUCKETS = [64, 128, 256]  # note frames; max must equal max_audio_frame/8
+
+
+@pytest.fixture(scope="module")
+def bucket_dataset(tmp_path_factory):
+    td = str(tmp_path_factory.mktemp("buckets"))
+    paths = []
+    # 2 s songs -> ~44 valid note frames -> bucket 64;
+    # 8 s songs -> ~172 -> bucket 256
+    for i, dur in enumerate([2.0, 2.0, 2.0, 8.0, 8.0, 8.0]):
+        paths.append(write_set(td, f"s{i}", dur, 180.0, seed=i))
+    txt = os.path.join(td, "beatmap.txt")
+    with open(txt, "w") as f:
+        f.writelines(p + "\n" for p in paths)
+
+    def make(**kw):
+        return OsuDataset(
+            txt_file=[txt], sr=22050, n_fft=512, max_audio_frame=2048,
+            audio_note_window_ratio=8, n_mels=16,
+            cache_dir=os.path.join(td, "cache"), with_audio=True,
+            length_buckets=BUCKETS, **kw,
+        )
+
+    return make
+
+
+def test_items_cropped_to_smallest_covering_bucket(bucket_dataset):
+    ds = bucket_dataset()
+    shapes = sorted({ds[i]["note"].shape[0] for i in range(len(ds))})
+    assert set(shapes) <= set(BUCKETS)
+    assert len(shapes) == 2  # short and long songs land in distinct buckets
+    for i in range(len(ds)):
+        ex = ds[i]
+        nb = ex["note"].shape[0]
+        assert ex["valid_flag"].shape == (nb,)
+        assert ex["audio"].shape == (nb * 8, 16)
+        nz = np.nonzero(ex["valid_flag"])[0]
+        assert nz.size and nz.max() < nb  # valid window fits the bucket
+
+
+def test_loader_yields_homogeneous_batches(bucket_dataset):
+    ds = bucket_dataset()
+    loader = Loader(ds, batch_size=3, shuffle=True, num_workers=2,
+                    drop_last=True)
+    batches = list(loader)
+    assert len(batches) == 2  # 3 short + 3 long
+    sizes = sorted(b["note"].shape[1] for b in batches)
+    assert all(b["note"].shape[0] == 3 for b in batches)
+    assert sizes[0] < sizes[1]
+    for b in batches:
+        assert b["audio"].shape[1] == b["note"].shape[1] * 8
+
+
+def test_loader_pads_leftovers_when_not_drop_last(bucket_dataset):
+    ds = bucket_dataset()
+    # batch 4 over 3+3 items: no bucket fills, so everything is a leftover,
+    # padded up to the largest leftover bucket and emitted in chunks
+    loader = Loader(ds, batch_size=4, shuffle=False, num_workers=2,
+                    drop_last=False)
+    batches = list(loader)
+    assert sum(b["note"].shape[0] for b in batches) == 6
+    t = {b["note"].shape[1] for b in batches}
+    assert t == {max(BUCKETS)} or t == {128, 256} or len(t) == 1
+
+
+def test_bucket_guard_on_max():
+    with pytest.raises(AssertionError):
+        OsuDataset(txt_file=[], max_audio_frame=2048,
+                   audio_note_window_ratio=8, length_buckets=[64, 128])
+
+
+def test_train_step_runs_per_bucket(bucket_dataset):
+    """Two jitted loss evaluations at different bucket shapes on the tiny
+    model — both finite (shape-polymorphic training)."""
+    import jax
+
+    from mug_diffusion_tpu.utils.config import instantiate_from_config
+    from tests.test_pipeline import tiny_config
+
+    ddpm = instantiate_from_config(tiny_config()["model"])
+    params = ddpm.init_params(
+        jax.random.PRNGKey(0), {"batch": 1, "z_length": 8, "n_mels": 16}
+    )
+    rng = jax.random.PRNGKey(1)
+    for nb in (64, 128):
+        batch = {
+            "note": np.zeros((2, nb, 16), np.float32),
+            "audio": np.zeros((2, nb * 8, 16), np.float16),
+            "feature": np.zeros((2, 21), np.int32),
+            "valid_flag": np.ones((2, nb), np.float32),
+        }
+        batch["note"][:, ::8, 0] = 1.0
+        loss, _ = jax.jit(
+            lambda p, b: ddpm.loss_fn(p, b, rng, train=True)
+        )(params, batch)
+        assert np.isfinite(float(loss))
