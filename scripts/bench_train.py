@@ -79,7 +79,9 @@ def main():
 
     B = int(os.environ.get("BENCH_TRAIN_BATCH", "48"))
     n = int(os.environ.get("BENCH_TRAIN_STEPS", "10"))
-    z_len = 512
+    # BENCH_TRAIN_ZLEN: latent length bucket (512 = the reference's fixed
+    # 190 s padding; 128/256 measure the bucketed-training shapes)
+    z_len = int(os.environ.get("BENCH_TRAIN_ZLEN", "512"))
     note_len = z_len * 8
     mel_len = z_len * 64
 
@@ -158,6 +160,7 @@ def main():
         "unit": "ms",
         "detail": {
             "batch": B,
+            "z_length": z_len,
             "charts_per_sec_per_chip": round(B / dt, 1),
             "hbm_peak_gb": hbm_peak_gb,
             "tflops_per_step": (
