@@ -116,6 +116,9 @@ def main(argv=None):
         batch_size=data_config["params"]["batch_size"],
         accumulate_grad_batches=trainer_cfg.get("accumulate_grad_batches", 1),
         val_every_n_epochs=trainer_cfg.get("val_every_n_epochs", 1),
+        save_last_every_n_epochs=trainer_cfg.get(
+            "save_last_every_n_epochs", 1
+        ),
         ckpt_every_n_steps=trainer_cfg.get("ckpt_every_n_steps", 10000),
         log_every_n_steps=trainer_cfg.get("log_every_n_steps", 50),
         max_epochs=opt.max_epochs,

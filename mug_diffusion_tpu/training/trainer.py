@@ -86,6 +86,7 @@ class Trainer:
         seed: int = 23,
         scale_lr: bool = True,
         val_every_n_epochs: int = 1,
+        save_last_every_n_epochs: int = 1,
         ckpt_every_n_steps: Optional[int] = 10000,
         save_top_k: int = 3,
         callbacks: Optional[list] = None,
@@ -117,6 +118,7 @@ class Trainer:
         self.max_steps = max_steps
         self.seed = seed
         self.val_every_n_epochs = val_every_n_epochs
+        self.save_last_every_n_epochs = max(1, save_last_every_n_epochs)
         self.ckpt_every_n_steps = ckpt_every_n_steps
         self.save_top_k = save_top_k
         self.callbacks = callbacks or []
@@ -343,7 +345,11 @@ class Trainer:
                 ):
                     monitor_val = self.validate(val_loader, epoch)
                     self.maybe_save_topk(monitor_val)
-                self.save_checkpoint("last")
+                # the full last checkpoint (params + opt state) is ~860 MB
+                # for the live model — remote/tunnel hosts can lower the
+                # cadence (interrupt/exception/max-steps still save)
+                if (epoch + 1) % self.save_last_every_n_epochs == 0:
+                    self.save_checkpoint("last")
         except KeyboardInterrupt:
             print("Interrupted; saving checkpoint.")
             self.save_checkpoint("last")
