@@ -437,8 +437,10 @@ class Loader:
     def _iter_bucketed(self, order) -> Iterator[dict]:
         """Group batches by the items' length bucket so every batch is a
         homogeneous static shape (one compiled train step per bucket).
-        Leftovers at epoch end are padded up to their largest bucket and
-        emitted together unless drop_last."""
+        Epoch-end leftovers from all buckets are merged (padded up to the
+        largest leftover bucket) into full batches; with drop_last only
+        the final still-incomplete batch is dropped — not each bucket's
+        remainder, which could discard most of a small dataset."""
         from collections import defaultdict, deque
         from concurrent.futures import FIRST_COMPLETED, wait
 
@@ -463,8 +465,6 @@ class Loader:
                     yield from drain(block=False)
             yield from drain(block=True)
 
-        if self.drop_last:
-            return
         rest = [e for b in sorted(pools) for e in pools[b]]
         if not rest:
             return
@@ -472,4 +472,7 @@ class Loader:
         ratio = self.dataset.audio_note_window_ratio
         rest = [_pad_example_to(e, target, ratio) for e in rest]
         for s in range(0, len(rest), self.batch_size):
-            yield collate(rest[s : s + self.batch_size])
+            chunk = rest[s : s + self.batch_size]
+            if len(chunk) < self.batch_size and self.drop_last:
+                return
+            yield collate(chunk)

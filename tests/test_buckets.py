@@ -84,6 +84,17 @@ def test_loader_pads_leftovers_when_not_drop_last(bucket_dataset):
     assert t == {max(BUCKETS)} or t == {128, 256} or len(t) == 1
 
 
+def test_drop_last_merges_leftovers_before_dropping(bucket_dataset):
+    """drop_last only drops the final incomplete batch AFTER merging all
+    buckets' leftovers — not each bucket's remainder."""
+    ds = bucket_dataset()
+    loader = Loader(ds, batch_size=4, shuffle=False, num_workers=2,
+                    drop_last=True)
+    batches = list(loader)  # 3 short + 3 long, no bucket fills 4
+    assert len(batches) == 1
+    assert batches[0]["note"].shape[0] == 4  # merged + padded, 2 dropped
+
+
 def test_bucket_guard_on_max():
     with pytest.raises(AssertionError):
         OsuDataset(txt_file=[], max_audio_frame=2048,
