@@ -126,3 +126,10 @@ def test_train_step_runs_per_bucket(bucket_dataset):
             lambda p, b: ddpm.loss_fn(p, b, rng, train=True)
         )(params, batch)
         assert np.isfinite(float(loss))
+
+
+def test_audio_examples_are_fp16(bucket_dataset):
+    """The loader ships mel as fp16 (half the host->device bytes; the mel
+    cache is fp16 anyway, ref mug/util.py:143). DDPM.wave_output upcasts."""
+    ds = bucket_dataset()
+    assert ds[0]["audio"].dtype == np.float16

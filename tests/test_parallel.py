@@ -314,3 +314,18 @@ def test_sharded_fused_generate_matches_unsharded():
     with pytest.raises(ValueError):
         build_fused_generate(ddpm, mesh=mesh, count=3, steps=steps,
                              scale=3.0, z_length=z_length)
+
+
+def test_pipeline_mesh_divisibility_fallback():
+    """GenerationPipeline(mesh=...) uses the mesh only when the request
+    count divides the data axis; odd counts fall back to single-device."""
+    from mug_diffusion_tpu.apps.pipeline import GenerationPipeline
+
+    from tests.test_pipeline import tiny_config
+
+    mesh = create_mesh(n_devices=4, axes=("data",))
+    pipe = GenerationPipeline(tiny_config(), mesh=mesh)
+    assert pipe._mesh_for(4) is mesh
+    assert pipe._mesh_for(8) is mesh
+    assert pipe._mesh_for(3) is None
+    assert GenerationPipeline(tiny_config())._mesh_for(4) is None
