@@ -107,7 +107,9 @@ def build_fused_generate(
                 a, NamedSharding(mesh, PartitionSpec(data_axis))
             )
 
-        if shard_wave_time:
+        # mel_batch already parallelizes the encoder over the batch axis;
+        # time sharding only pays for the single-song kinds (batch 1)
+        if shard_wave_time and input_kind != "mel_batch":
             time_sh = NamedSharding(
                 mesh, PartitionSpec(None, data_axis)
             )
@@ -198,8 +200,8 @@ def build_fused_generate(
         )
         if out_dtype == jnp.int8:
             # quantized readback: x*64 at int8 keeps the logit signs exact
-            # (note placement) and offsets to 1/64 frame (~0.7 ms) — the
-            # consumer dequantizes with /64 (pipeline.sample_charts)
+            # (note placement) and offsets to 1/64 frame (~0.7 ms); the
+            # consumer must dequantize with /64 before chart decoding
             return jnp.round(
                 jnp.clip(decoded * 64.0, -127.0, 127.0)
             ).astype(jnp.int8)

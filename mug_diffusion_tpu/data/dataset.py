@@ -442,28 +442,33 @@ class Loader:
         the final still-incomplete batch is dropped — not each bucket's
         remainder, which could discard most of a small dataset."""
         from collections import defaultdict, deque
-        from concurrent.futures import FIRST_COMPLETED, wait
 
         pools: dict = defaultdict(list)
+
+        def absorb(ex):
+            b = ex["note"].shape[0]
+            pools[b].append(ex)
+            if len(pools[b]) == self.batch_size:
+                return collate(pools.pop(b))
+            return None
+
         with ThreadPoolExecutor(self.num_workers) as pool:
+            # strict in-flight bound: block on the oldest future once the
+            # window fills (completed results hold ~MBs of mel each)
             window = max(2 * self.batch_size, 2 * self.num_workers)
             futures: deque = deque()
-            idx_iter = iter(order)
-
-            def drain(block: bool):
-                while futures and (block or futures[0].done()):
-                    ex = futures.popleft().result()
-                    b = ex["note"].shape[0]
-                    pools[b].append(ex)
-                    if len(pools[b]) == self.batch_size:
-                        yield collate(pools.pop(b))
-
-            for i in idx_iter:
+            for i in order:
                 futures.append(pool.submit(self.dataset.__getitem__, int(i)))
-                if len(futures) >= window:
-                    wait(futures, return_when=FIRST_COMPLETED)
-                    yield from drain(block=False)
-            yield from drain(block=True)
+                while len(futures) >= window or (
+                    futures and futures[0].done()
+                ):
+                    batch = absorb(futures.popleft().result())
+                    if batch is not None:
+                        yield batch
+            while futures:
+                batch = absorb(futures.popleft().result())
+                if batch is not None:
+                    yield batch
 
         rest = [e for b in sorted(pools) for e in pools[b]]
         if not rest:
