@@ -133,3 +133,59 @@ def test_audio_examples_are_fp16(bucket_dataset):
     cache is fp16 anyway, ref mug/util.py:143). DDPM.wave_output upcasts."""
     ds = bucket_dataset()
     assert ds[0]["audio"].dtype == np.float16
+
+
+def test_grad_accumulation_across_bucket_shapes():
+    """optax.MultiSteps accumulates across micro-batches of DIFFERENT
+    length buckets (grad pytrees are param-shaped, so the jitted step is
+    shape-polymorphic): no update after micro 1 (bucket 64), update
+    applied after micro 2 (bucket 128)."""
+    import jax
+    import optax
+
+    from mug_diffusion_tpu.utils.config import instantiate_from_config
+    from tests.test_pipeline import tiny_config
+
+    ddpm = instantiate_from_config(tiny_config()["model"])
+    params = ddpm.init_params(
+        jax.random.PRNGKey(0), {"batch": 1, "z_length": 8, "n_mels": 16}
+    )
+    opt = optax.MultiSteps(optax.sgd(1e-2), every_k_schedule=2)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state, batch):
+        def loss_fn(p):
+            loss, _ = ddpm.loss_fn(p, batch, jax.random.PRNGKey(1),
+                                   train=True)
+            return loss
+
+        grads = jax.grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state
+
+    def batch(nb):
+        b = {
+            "note": np.zeros((2, nb, 16), np.float32),
+            "audio": 0.05 * np.random.RandomState(nb).standard_normal(
+                (2, nb * 8, 16)).astype(np.float16),
+            "feature": np.zeros((2, 21), np.int32),
+            "valid_flag": np.ones((2, nb), np.float32),
+        }
+        b["note"][:, ::8, 0] = 1.0
+        return b
+
+    def snapshot(p):
+        return [
+            np.asarray(x).copy()
+            for x in jax.tree_util.tree_leaves(p["params"]["unet_model"])
+        ]
+
+    def max_delta(a, b):
+        return max(np.abs(x - y).max() for x, y in zip(a, b))
+
+    before = snapshot(params)
+    params, opt_state = step(params, opt_state, batch(64))   # accumulate
+    assert max_delta(snapshot(params), before) == 0
+    params, opt_state = step(params, opt_state, batch(128))  # apply
+    assert max_delta(snapshot(params), before) > 0
