@@ -56,6 +56,7 @@ class GenerationPipeline:
         self.mesh = mesh
         self.model = instantiate_from_config(config["model"])  # DDPM
         self.sampler = DDIMSampler(self.model)
+        self._fused_cache: dict = {}
 
         dataset = config["data"]["params"]["common_params"]
         self.n_mels = dataset["n_mels"]
@@ -102,22 +103,29 @@ class GenerationPipeline:
             return self.mesh
         return None
 
-    def _fused(self, steps: int, scale: float, count: int, z_length: int):
-        """Cached fused single-dispatch generator per request signature."""
+    def _fused(self, steps: int, scale: float, count: int, z_length: int,
+               input_kind: str = "mel", mel_frames: Optional[int] = None):
+        """Cached fused single-dispatch generator per request STRUCTURE.
+
+        The guidance scale is a traced argument of the returned callable —
+        pass it at call time; only ``scale != 1.0`` (the CFG graph shape)
+        participates in the cache key, so slider changes never recompile."""
         from mug_diffusion_tpu.apps.serving import build_fused_generate
 
         mesh = self._mesh_for(count)
-        key = (steps, scale, count, z_length, mesh is not None)
-        if not hasattr(self, "_fused_cache"):
-            self._fused_cache = {}
+        key = (steps, scale != 1.0, count, z_length, input_kind,
+               mesh is not None)
         if key not in self._fused_cache:
             ratio = self.max_audio_frame // self.model.z_length
             self._fused_cache[key] = build_fused_generate(
                 self.model, steps=steps, scale=scale, count=count,
-                z_length=z_length, mel_frames=z_length * ratio,
+                z_length=z_length,
+                mel_frames=mel_frames or z_length * ratio,
                 sr=self.sr, n_mels=self.n_mels, n_fft=self.n_fft,
-                input_kind="mel",
-                mesh=mesh, shard_wave_time=mesh is not None,
+                input_kind=input_kind,
+                mesh=mesh,
+                shard_wave_time=mesh is not None
+                and input_kind != "mel_batch",
             )
         return self._fused_cache[key]
 
@@ -232,7 +240,7 @@ class GenerationPipeline:
             # modular chain on a remote-TPU host (see docs/PERF.md)
             decoded = self._fused(steps, scale, count, z_length)(
                 self.params, jnp.asarray(mel), feature, uc_feature,
-                jax.random.PRNGKey(seed),
+                jax.random.PRNGKey(seed), scale,
             )
             return np.asarray(decoded).transpose(0, 2, 1), z_length
 
@@ -271,35 +279,22 @@ class GenerationPipeline:
 
     def warmup(self, buckets=None, count: int = 4, steps: int = 100,
                scale: float = 5.0):
-        """Precompile the serving executables for the given length buckets
-        (first requests then hit the in-memory + persistent compile cache)."""
+        """Precompile the FUSED serving executable for each length bucket —
+        the path sample_charts actually dispatches — so first requests hit
+        the in-memory + persistent compile cache. The guidance scale is a
+        traced argument, so one warm covers the whole slider range."""
         import numpy as np
 
         buckets = buckets or self.z_length_buckets
+        ratio = self.max_audio_frame // self.model.z_length
+        feature = self.encode_prompt({}, count)
         for z_length in buckets:
-            mel = np.zeros((self.n_mels, z_length * 64), np.float32)
-            audio1 = jnp.asarray(mel.T[None])
-            feature = self.encode_prompt({}, count)
-            _, w1 = self.model.encode_conditioning(
-                self.params, audio1, feature[:1]
+            mel = jnp.zeros((self.n_mels, z_length * ratio), jnp.float32)
+            out = self._fused(steps, scale, count, z_length)(
+                self.params, mel, feature, feature,
+                jax.random.PRNGKey(0), scale,
             )
-            n_levels = len(
-                self.model.model.unet_config["params"]["channel_mult"]
-            )
-            w = [
-                jnp.broadcast_to(wi, (count,) + wi.shape[1:])
-                for wi in list(w1)[-n_levels:]
-            ]
-            c = self.model.cond_output(self.params, feature)
-            uc = self.model.cond_output(self.params, feature)
-            samples, _ = self.sampler.sample(
-                S=steps, c=c, w=w, batch_size=count, params=self.params,
-                shape=(self.model.z_channels, z_length),
-                rng=jax.random.PRNGKey(0),
-                unconditional_guidance_scale=scale,
-                unconditional_conditioning=uc,
-            )
-            self.model.decode(self.params, samples)
+            np.asarray(out)  # force compile + execute
 
     def sample_charts_batched(
         self,
@@ -332,22 +327,12 @@ class GenerationPipeline:
         uc_feature = self.encode_prompt({}, n)
 
         # fused multi-song path (single dispatch; see apps/serving)
-        from mug_diffusion_tpu.apps.serving import build_fused_generate
-
-        mesh = self._mesh_for(n)
-        key = ("batched", steps, scale, n, z_length, mesh is not None)
-        if not hasattr(self, "_fused_cache"):
-            self._fused_cache = {}
-        if key not in self._fused_cache:
-            self._fused_cache[key] = build_fused_generate(
-                self.model, steps=steps, scale=scale, count=n,
-                z_length=z_length, mel_frames=frames, sr=self.sr,
-                n_mels=self.n_mels, n_fft=self.n_fft,
-                input_kind="mel_batch", mesh=mesh,
-            )
-        decoded = self._fused_cache[key](
+        decoded = self._fused(
+            steps, scale, n, z_length, input_kind="mel_batch",
+            mel_frames=frames,
+        )(
             self.params, jnp.asarray(batch), feature, uc_feature,
-            jax.random.PRNGKey(seed),
+            jax.random.PRNGKey(seed), scale,
         )
         return np.asarray(decoded).transpose(0, 2, 1), z_length
 

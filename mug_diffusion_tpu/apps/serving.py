@@ -26,7 +26,11 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from mug_diffusion_tpu.diffusion.ddim import DDIMSampler, ddim_scan_core
+from mug_diffusion_tpu.diffusion.ddim import (
+    DDIMSampler,
+    ddim_scan_core,
+    extract_s4_kernels,
+)
 from mug_diffusion_tpu.ops.mel import melspectrogram_on_device
 
 
@@ -122,7 +126,9 @@ def build_fused_generate(
 
         audio_sh = batch_sh if input_kind == "mel_batch" else rep_sh
         jit_kwargs = dict(
-            in_shardings=(rep_sh, audio_sh, batch_sh, batch_sh, rep_sh),
+            in_shardings=(
+                rep_sh, audio_sh, batch_sh, batch_sh, rep_sh, rep_sh
+            ),
             out_shardings=batch_sh,
         )
     else:
@@ -133,7 +139,8 @@ def build_fused_generate(
             return a
 
     @partial(jax.jit, **jit_kwargs)
-    def generate(params, audio_in, feature, uc_feature, rng):
+    def _generate(params, audio_in, feature, uc_feature, rng,
+                  guidance_scale):
         if input_kind == "wave":  # raw PCM -> mel on device
             mel = melspectrogram_on_device(
                 audio_in, sr=sr, n_mels=n_mels, hop_length=n_fft // 4,
@@ -183,15 +190,12 @@ def build_fused_generate(
         # forward) — XLA does not hoist their FFT math out of the scan
         B_in = size[0] * (2 if use_cfg else 1)
         x_probe = shard(jnp.zeros((B_in,) + size[1:]))
-        t_probe = jnp.zeros((B_in,), jnp.int32)
-        _, s4k = ddpm.model.apply(
-            params, x_probe, t_probe, c_in, w_in, mutable=["s4_kernel"]
-        )
+        s4k = extract_s4_kernels(ddpm, params, x_probe, c_in, w_in)
         params_k = {**params, **s4k}
 
         x_final, _ = ddim_scan_core(
             ddpm, params_k, x, c_in, w_in,
-            jnp.zeros(size), jnp.zeros(size), rng, tables, scale,
+            jnp.zeros(size), jnp.zeros(size), rng, tables, guidance_scale,
             use_cfg=use_cfg, use_mask=False, temperature=temperature,
             collect=False,
         )
@@ -206,5 +210,17 @@ def build_fused_generate(
                 jnp.clip(decoded * 64.0, -127.0, 127.0)
             ).astype(jnp.int8)
         return decoded.astype(out_dtype)
+
+    def generate(params, audio_in, feature, uc_feature, rng,
+                 guidance_scale=scale):
+        """``guidance_scale`` is a TRACED scalar: any value reuses the one
+        compiled executable (the webui exposes a 1-30 slider — a baked
+        constant would recompile minutes per notch). The build-time
+        ``scale`` only decides the CFG structure (scale==1.0 builds the
+        single-pass graph) and serves as the default."""
+        return _generate(
+            params, audio_in, feature, uc_feature, rng,
+            jnp.float32(guidance_scale),
+        )
 
     return generate

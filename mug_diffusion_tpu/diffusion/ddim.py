@@ -29,6 +29,19 @@ from mug_diffusion_tpu.diffusion.schedules import (
 )
 
 
+def extract_s4_kernels(model, params, x_probe, c_in, w_in):
+    """Materialize the length-specific S4 conv kernels ONCE with a single
+    probe U-Net forward and return the mutable ``s4_kernel`` collection
+    (merge into params with ``{**params, **s4k}``) — XLA does not hoist
+    their FFT math out of a scan on its own. Shared by DDIMSampler and the
+    fused serving path (apps/serving.py). Traceable: safe inside jit."""
+    t_probe = jnp.zeros((x_probe.shape[0],), jnp.int32)
+    _, s4k = model.model.apply(
+        params, x_probe, t_probe, c_in, w_in, mutable=["s4_kernel"]
+    )
+    return s4k
+
+
 class DDIMSampler:
     """ref: mug/diffusion/ddim.py:11-196."""
 
@@ -157,16 +170,10 @@ class DDIMSampler:
             @jax.jit
             def extract(params, c_in, w_in):
                 x_probe = jnp.zeros((B_in,) + tuple(size[1:]))
-                t_probe = jnp.zeros((B_in,), jnp.int32)
-                _, s4k = model.model.apply(
-                    params, x_probe, t_probe, c_in, w_in,
-                    mutable=["s4_kernel"],
-                )
-                return s4k
+                return extract_s4_kernels(model, params, x_probe, c_in, w_in)
 
             self._cache[key] = extract
-        s4k = self._cache[key](params, c_in, w_in)
-        return {**params, **s4k}
+        return {**params, **self._cache[key](params, c_in, w_in)}
 
     def _get_step_fn(
         self, S, size, use_cfg, use_mask, temperature, noise_dropout, n_w

@@ -350,6 +350,10 @@ class Trainer:
                 # cadence (interrupt/exception/max-steps still save)
                 if (epoch + 1) % self.save_last_every_n_epochs == 0:
                     self.save_checkpoint("last")
+            # normal max_epochs completion on an off-cadence epoch must not
+            # lose the training tail
+            if self.max_epochs % self.save_last_every_n_epochs != 0:
+                self.save_checkpoint("last")
         except KeyboardInterrupt:
             print("Interrupted; saving checkpoint.")
             self.save_checkpoint("last")

@@ -1216,14 +1216,12 @@ struct AnchorSeq {
   float len_cap_ms = kMsInit;
   float last = kSInit;
   float start = kSInit;
-  bool init = true;
   AnchStatus status = kAnchInit;
 
   void reset() {
     len = 1;
     sc_ms = max_ms = len_cap_ms = kMsInit;
     last = start = kSInit;
-    init = true;
     status = kAnchInit;
   }
 
@@ -1690,7 +1688,6 @@ static void RunPatternMods(Calc& c) {
     // hand-dependent mod state [Ulbu.h full_hand_reset]
     ItvHandInfo itvhi;
     itvhi.zero();
-    std::array<int, kNumBaseTypes> base_type_counts{};
     OHJumpMod ohj(false), cjohj(true);
     TrillMod oht(false), voht(true);
     ChaosMod chaos;
@@ -1753,7 +1750,6 @@ static void RunPatternMods(Calc& c) {
             {ri.time,
              MsToScaledNps(seq.lowest_anchor_ms()) * kBaseScalers[kJackSpeed]});
 
-        if (bt != kBaseInit) ++base_type_counts[bt];
         last_row_time = ri.time;
       }
       // interval end [Ulbu.h handle_dependent_interval_end]
@@ -1776,7 +1772,6 @@ static void RunPatternMods(Calc& c) {
       c.doot[h][kPmWideRangeJumptrill][itv] = wrjt(itvhi);
       c.doot[h][kPmWideRangeAnchor][itv] = WideRangeAnchorMod(itvhi, seq);
       c.doot[h][kPmRanMan][itv] = rm(itvhi.taps_nowi());
-      base_type_counts.fill(0);
 
       c.tech_base[h][itv] = tech.itv_diff(c.nps_base[h][itv]);
       tech.interval_end();
@@ -2156,11 +2151,16 @@ static PyObject* method_calc_debug(PyObject*, PyObject* args) {
   }
 
   PyObject* out = PyDict_New();
+  // PyDict_SetItemString does NOT steal references: drop ours after insert
+  auto set_and_release = [&out](const char* key, PyObject* v) {
+    PyDict_SetItemString(out, key, v);
+    Py_DECREF(v);
+  };
   PyObject* pssr = PyList_New(ssr.size());
   for (size_t i = 0; i < ssr.size(); ++i)
     PyList_SetItem(pssr, i, PyFloat_FromDouble(ssr[i]));
-  PyDict_SetItemString(out, "ssr", pssr);
-  PyDict_SetItemString(out, "numitv", PyLong_FromLong(skip ? 0 : c.numitv));
+  set_and_release("ssr", pssr);
+  set_and_release("numitv", PyLong_FromLong(skip ? 0 : c.numitv));
   int n = skip ? 0 : c.numitv;
   PyObject* doot = PyList_New(2);
   PyObject* soap = PyList_New(2);
@@ -2186,17 +2186,22 @@ static PyObject* method_calc_debug(PyObject*, PyObject* args) {
       PyList_SetItem(pl, i, PyLong_FromLong(c.itv_points[h][i]));
     PyList_SetItem(itvpts, h, pl);
     PyObject* jl = PyList_New(c.jack_diff[h].size());
-    for (size_t i = 0; i < c.jack_diff[h].size(); ++i)
-      PyList_SetItem(jl, i,
-                     PyTuple_Pack(2, PyFloat_FromDouble(c.jack_diff[h][i].first),
-                                  PyFloat_FromDouble(c.jack_diff[h][i].second)));
+    for (size_t i = 0; i < c.jack_diff[h].size(); ++i) {
+      // PyTuple_Pack does not steal its arguments either
+      PyObject* a = PyFloat_FromDouble(c.jack_diff[h][i].first);
+      PyObject* b = PyFloat_FromDouble(c.jack_diff[h][i].second);
+      PyObject* t = PyTuple_Pack(2, a, b);
+      Py_DECREF(a);
+      Py_DECREF(b);
+      PyList_SetItem(jl, i, t);
+    }
     PyList_SetItem(jackd, h, jl);
   }
-  PyDict_SetItemString(out, "doot", doot);
-  PyDict_SetItemString(out, "soap", soap);
-  PyDict_SetItemString(out, "base_adj_diff", badj);
-  PyDict_SetItemString(out, "itv_points", itvpts);
-  PyDict_SetItemString(out, "jack_diff", jackd);
+  set_and_release("doot", doot);
+  set_and_release("soap", soap);
+  set_and_release("base_adj_diff", badj);
+  set_and_release("itv_points", itvpts);
+  set_and_release("jack_diff", jackd);
   return out;
 }
 

@@ -168,8 +168,10 @@ def main():
             ),
             "mfu": (
                 round(step_flops / dt / 1.97e14, 4)
-                if (step_flops and "v5" in
-                    jax.devices()[0].device_kind.lower())
+                if (step_flops and any(
+                    k in jax.devices()[0].device_kind.lower()
+                    for k in ("v5 lite", "v5e")
+                ))
                 else None
             ),
             "loss_finite": bool(np.isfinite(final)),

@@ -279,12 +279,18 @@ def main():
           f"= {flags_agree/flags_total:.4f}")
 
     if args.dump_golden:
-        golden = {"rates": RATES, "charts": {}}
-        for name, notes in corpus.items():
-            golden["charts"][name] = {
-                "notes": notes,
-                "msd": {str(r): ref_out[name][str(r)] for r in RATES},
-            }
+        # same structure as tests/goldens/minacalc_corpus.json (consumed by
+        # tests/test_minacalc.py::test_parity_corpus_msd_within_005):
+        # {"rates": [...], "msd": {chart: {"<rate>": [8 floats]}}}.
+        # Notes are NOT stored — the test regenerates the corpus
+        # deterministically via make_corpus().
+        golden = {
+            "rates": RATES,
+            "msd": {
+                name: {str(r): ref_out[name][str(r)] for r in RATES}
+                for name in corpus
+            },
+        }
         Path(args.dump_golden).write_text(json.dumps(golden))
         print("golden written to", args.dump_golden)
 

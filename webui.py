@@ -242,7 +242,9 @@ def build_ui(pipeline: GenerationPipeline, template_path: str):
             if meta is not None and meta.tag is not None:
                 title_v = meta.tag.title or ""
                 artist_v = meta.tag.artist or ""
-        except ImportError:
+        except Exception:
+            # eyed3 missing OR the upload is corrupt/unreadable — either
+            # way fall back to the filename convention below
             pass
         if not title_v:
             stem = os.path.splitext(os.path.basename(path))[0]
