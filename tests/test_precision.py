@@ -141,3 +141,36 @@ def test_int8_quantized_readback_semantics():
     assert ((deq > 0) == (f32 > 0))[confident].all()
     off = np.abs(np.clip(deq, -1, 1) - np.clip(f32, -1, 1))
     assert off.max() <= (1.0 / 64.0) + 1e-6, off.max()
+
+
+def test_guidance_scale_is_traced_not_baked():
+    """One fused executable serves every guidance scale (the webui slider):
+    different scales produce different charts WITHOUT recompiling, and the
+    default-arg call equals the explicit build-scale call. Params must be
+    perturbed: at init the U-Net out-conv is zero (ref zero_module), the
+    denoiser returns 0 and CFG is vacuously scale-independent."""
+    from mug_diffusion_tpu.apps.serving import build_fused_generate
+
+    ddpm, params = _build("float32")
+    params = jax.tree_util.tree_map(
+        lambda x: x + 0.02 * jax.random.normal(jax.random.PRNGKey(1), x.shape)
+        if hasattr(x, "shape") and x.ndim >= 1 else x,
+        params,
+    )
+    count, steps, z_length = 2, 4, 8
+    mel_frames = z_length * 8 * 8
+    wave = jnp.asarray(
+        0.05 * np.random.RandomState(0).randn(mel_frames * 16)
+    ).astype(jnp.float32)
+    feat = jnp.zeros((count, 21), jnp.int32)
+    ucf = jnp.ones((count, 21), jnp.int32)
+    fused = build_fused_generate(
+        ddpm, steps=steps, scale=3.0, count=count, z_length=z_length,
+        mel_frames=mel_frames, n_mels=16, n_fft=64,
+    )
+    rng = jax.random.PRNGKey(5)
+    a = np.asarray(fused(params, wave, feat, ucf, rng, 3.0))
+    b = np.asarray(fused(params, wave, feat, ucf, rng, 9.0))
+    c = np.asarray(fused(params, wave, feat, ucf, rng))  # default = 3.0
+    assert np.abs(a - b).mean() > 1e-5   # scale reaches the CFG combine
+    np.testing.assert_allclose(a, c)     # default arg == build scale
