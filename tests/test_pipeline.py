@@ -223,3 +223,11 @@ def test_mapping_cli_end_to_end(tmp_path):
     assert os.path.isfile(osz)
     names = zipfile.ZipFile(osz).namelist()
     assert sum(n.endswith(".osu") for n in names) == 2
+
+
+def test_warmup_compiles_fused_executables(pipeline):
+    """warmup() precompiles the FUSED serving path per bucket — the same
+    cache key sample_charts uses must be populated."""
+    pipeline.warmup(buckets=[8], count=2, steps=2, scale=3.0)
+    key = (2, True, 2, 8, "mel", False)
+    assert key in pipeline._fused_cache
