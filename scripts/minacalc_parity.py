@@ -26,9 +26,16 @@ REPO = Path(__file__).resolve().parent.parent
 
 NAMES = ["overall", "stream", "jumpstream", "handstream", "stamina",
          "jackspeed", "chordjack", "technical"]
-RATES = [0.7, 0.9, 1.0, 1.1, 1.3, 1.5, 1.8]
+RATES = [0.5, 0.7, 0.9, 1.0, 1.1, 1.3, 1.5, 1.8, 2.0]
 KINDS = ["stream", "js", "hs", "jack", "cj", "tech", "mixed", "ln_dense",
-         "burst", "anchor"]
+         "burst", "anchor",
+         # adversarial/degenerate regimes where a compact reimplementation
+         # most plausibly diverges from the 8k-LoC original: the
+         # max_intervals=1500 cap and 50-rows-per-interval saturation
+         # (ref MinaCalc.h:24-30), dense quads, single-column walls,
+         # sub-ms duplicate rows, and 32nd polyrhythm bursts
+         "marathon", "saturate", "quad_wall", "vibro_col", "dupes",
+         "polyburst"]
 
 
 def gen_chart(kind: str, seed: int, n: int = 1400) -> list[tuple[float, int]]:
@@ -99,6 +106,51 @@ def gen_chart(kind: str, seed: int, n: int = 1400) -> list[tuple[float, int]]:
             else:
                 notes.append((t, rng.choice([1, 2, 3])))
             t += step; i += 1
+        elif kind == "marathon":
+            # ~1300 s sparse chart: at rates <= ~0.86 the interval count
+            # exceeds the reference's max_intervals=1500 cap
+            # (ref MinaCalc.h:24) — the tail must be handled identically
+            col = rng.choice([c for c in range(4) if c != col])
+            notes.append((t, col)); t += 1300_000.0 / n; i += 1
+        elif kind == "saturate":
+            # vibro-dense rows 4-8 ms apart: a 0.5 s scan interval holds
+            # 60-125 rows, saturating max_rows_for_single_interval=50
+            # (ref MinaCalc.h:30)
+            col = rng.choice([c for c in range(4) if c != col])
+            notes.append((t, col))
+            if rng.random() < 0.3:
+                notes.append((t, (col + 2) % 4))
+            t += rng.uniform(4.0, 8.0); i += 1
+        elif kind == "quad_wall":
+            # every row a quad
+            for c in range(4):
+                notes.append((t, c))
+            t += step * rng.choice([1.5, 2.0, 2.0, 3.0]); i += 1
+        elif kind == "vibro_col":
+            # single-column wall at burst speeds
+            notes.append((t, 1))
+            t += step * rng.choice([0.5, 0.5, 0.75, 1.0]); i += 1
+        elif kind == "dupes":
+            # duplicate (ms, col) rows and 0-1 ms near-duplicates — the
+            # integer-ms codec can emit these; row merging must agree
+            col = rng.choice([c for c in range(4) if c != col])
+            notes.append((t, col))
+            r = rng.random()
+            if r < 0.2:
+                notes.append((t, col))          # exact duplicate
+            elif r < 0.4:
+                notes.append((t + 1, (col + 1) % 4))  # 1 ms apart
+            t += step; i += 1
+        elif kind == "polyburst":
+            # 32nd bursts against an off-phase jump layer
+            if i % 3 == 0:
+                for _ in range(8):
+                    col = rng.choice([c for c in range(4) if c != col])
+                    notes.append((t, col)); t += step / 2; i += 1
+                notes.append((t + step / 3, 0))
+                notes.append((t + step / 3, 3))
+            else:
+                notes.append((t, rng.randrange(4))); t += step; i += 1
         else:  # mixed
             r = rng.random()
             if r < 0.5:
@@ -120,7 +172,7 @@ def make_corpus() -> dict[str, list[tuple[float, int]]]:
     import zlib  # stable across processes (str hash() is salted)
     corpus = {}
     for kind in KINDS:
-        for seed in range(3):
+        for seed in range(7):
             corpus[f"{kind}_{seed}"] = gen_chart(
                 kind, seed * 7 + zlib.crc32(kind.encode()) % 100)
     return corpus
@@ -244,6 +296,17 @@ def main():
     if args.debug:
         debug_chart(args.debug[0], float(args.debug[1]), args.ref_dbg)
         return
+
+    # the golden is ONLY ever the reference's output — refuse to continue
+    # (and in particular to --dump-golden) when the reference extension
+    # isn't built, instead of failing late or, worse, pinning repo output
+    ref_dir = Path(args.ref_so)
+    if not (ref_dir.exists() and list(ref_dir.glob("minacalc*.so"))):
+        sys.exit(
+            f"reference extension not found in {args.ref_so}; build it "
+            "first: tar -xzf /root/reference/scripts/MinaCalc-1.0.tar.gz "
+            "&& python setup.py build_ext --build-lib " + args.ref_so
+        )
 
     sys.path.insert(0, str(REPO))
     import minacalc as ours

