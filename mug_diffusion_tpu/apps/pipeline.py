@@ -40,9 +40,26 @@ from mug_diffusion_tpu.utils import checkpoint as ckpt_utils
 # bucket list bounds recompilation while covering ~45 s .. ~6 min songs.
 Z_LENGTH_BUCKETS = (128, 192, 256, 320, 384, 448, 512, 640, 768, 1024)
 
+# chart-count padding buckets (webui slider 1-16, ref webui.py:602-608):
+# requests are padded up to the nearest bucket and sliced on readback, so
+# the whole slider maps to 5 compiled batch shapes instead of 16.
+COUNT_BUCKETS = (1, 2, 4, 8, 16)
+
+
+def _pad_rows(a, n: int):
+    """Pad a [count, ...] array to [n, ...] rows by repeating the last row
+    (count-bucket padding; the padded rows are sliced away on readback)."""
+    a = np.asarray(a)
+    if a.ndim and a.shape[0] < n:
+        a = np.concatenate(
+            [a, np.repeat(a[-1:], n - a.shape[0], axis=0)], axis=0
+        )
+    return jnp.asarray(a)
+
 
 class GenerationPipeline:
     z_length_buckets = Z_LENGTH_BUCKETS
+    count_buckets = COUNT_BUCKETS
 
     def __init__(self, config: dict, params=None,
                  ckpt_path: Optional[str] = None, mesh=None):
@@ -103,24 +120,46 @@ class GenerationPipeline:
             return self.mesh
         return None
 
-    def _fused(self, steps: int, scale: float, count: int, z_length: int,
-               input_kind: str = "mel", mel_frames: Optional[int] = None):
+    def _count_bucket(self, count: int) -> int:
+        """Pad the requested chart count to the nearest bucket (sliced on
+        readback) so any count slider value hits a precompiled batch shape.
+        With a mesh, prefer a bucket divisible by its data axis so the
+        request shards — idle devices make the padding free."""
+        b = next((x for x in self.count_buckets if x >= count), count)
+        if self.mesh is not None:
+            a = self.mesh.shape["data"]
+            if b % a != 0:
+                b = next(
+                    (x for x in self.count_buckets
+                     if x >= count and x % a == 0),
+                    b,
+                )
+        return b
+
+    def _fused(self, count: int, z_length: int, use_cfg: bool = True,
+               use_mask: bool = False, input_kind: str = "mel",
+               mel_frames: Optional[int] = None):
         """Cached fused single-dispatch generator per request STRUCTURE.
 
-        The guidance scale is a traced argument of the returned callable —
-        pass it at call time; only ``scale != 1.0`` (the CFG graph shape)
-        participates in the cache key, so slider changes never recompile."""
+        Steps, eta and guidance scale are traced arguments of the returned
+        callable (``fn(params, mel, feature, uc, rng, scale, steps, eta,
+        mask, x0)``) — only the CFG/mask graph structure, the count bucket
+        and the length bucket participate in the cache key. The entire
+        webui slider surface (steps 10-200 x count 1-16 x scale 1-30) is
+        served by this bounded executable set with zero on-demand
+        recompiles (ref webui.py:602-608 serves any combo instantly)."""
         from mug_diffusion_tpu.apps.serving import build_fused_generate
 
         mesh = self._mesh_for(count)
-        key = (steps, scale != 1.0, count, z_length, input_kind,
+        key = (count, z_length, use_cfg, use_mask, input_kind,
                mesh is not None)
         if key not in self._fused_cache:
             ratio = self.max_audio_frame // self.model.z_length
             self._fused_cache[key] = build_fused_generate(
-                self.model, steps=steps, scale=scale, count=count,
-                z_length=z_length,
+                self.model, steps=None, scale=5.0 if use_cfg else 1.0,
+                count=count, z_length=z_length,
                 mel_frames=mel_frames or z_length * ratio,
+                use_mask=use_mask,
                 sr=self.sr, n_mels=self.n_mels, n_fft=self.n_fft,
                 input_kind=input_kind,
                 mesh=mesh,
@@ -157,7 +196,9 @@ class GenerationPipeline:
         t = mel.shape[1]
         ratio = self.max_audio_frame // self.model.z_length  # 64
         quantum = min(32, self.z_length_buckets[0])
-        needed = (int(t / ratio / quantum) + 1) * quantum
+        # ceil like the reference (webui.py:353) — an exact-multiple song
+        # must not be bumped to the next bucket (+25% compute for silence)
+        needed = max(quantum, int(np.ceil(t / ratio / quantum)) * quantum)
         z_length = next(
             (b for b in self.z_length_buckets if b >= needed),
             self.z_length_buckets[-1],
@@ -229,72 +270,55 @@ class GenerationPipeline:
         mel = self.load_mel(audio_path)
         mel, z_length = self.fit_length(mel)
 
-        feature = self.encode_prompt(feature_dict, count)
-        uc_feature = self.encode_prompt({}, count)
-
-        if (mask is None and x0 is None and inpaint_from is None
-                and eta == 0.0):
-            # fused single-dispatch path (apps/serving.py): the whole
-            # generation (wave encode -> prompt -> CFG DDIM scan -> decode)
-            # is one executable — measured 2.5x faster end-to-end than the
-            # modular chain on a remote-TPU host (see docs/PERF.md)
-            decoded = self._fused(steps, scale, count, z_length)(
-                self.params, jnp.asarray(mel), feature, uc_feature,
-                jax.random.PRNGKey(seed), scale,
-            )
-            return np.asarray(decoded).transpose(0, 2, 1), z_length
-
-        # the audio is shared across samples: encode the wave pyramid once at
-        # batch 1 and broadcast only the deep scales the U-Net consumes
-        audio1 = jnp.asarray(mel.T[None])  # [1, Tmel, n_mels]
-
-        _, w1 = self.model.encode_conditioning(
-            self.params, audio1, feature[:1]
+        use_mask = (
+            mask is not None or x0 is not None or inpaint_from is not None
         )
-        n_levels = len(self.model.model.unet_config["params"]["channel_mult"])
-        w = [
-            jnp.broadcast_to(wi, (count,) + wi.shape[1:])
-            for wi in list(w1)[-n_levels:]
-        ]
-        c = self.model.cond_output(self.params, feature)
-        uc = None
-        if scale != 1.0:
-            uc = self.model.cond_output(self.params, uc_feature)
+        # every request shape — including eta noise and masked inpainting
+        # (ref ddim.py:141-144) — runs the fused single-dispatch executable
+        # (apps/serving.py), measured 2.5x faster end-to-end than the
+        # modular chain on a remote-TPU host (see docs/PERF.md); the count
+        # is padded to a bucket and sliced on readback
+        n = self._count_bucket(count)
+        feature = self.encode_prompt(feature_dict, n)
+        uc_feature = self.encode_prompt({}, n)
 
         if inpaint_from is not None:
-            x0 = self.encode_chart_latent(inpaint_from, z_length, count)
-            mask = self.make_time_mask(
-                z_length, inpaint_keep_ms or [], count
-            )
+            x0 = self.encode_chart_latent(inpaint_from, z_length, n)
+            mask = self.make_time_mask(z_length, inpaint_keep_ms or [], n)
+        elif use_mask:
+            mask = None if mask is None else _pad_rows(mask, n)
+            x0 = None if x0 is None else _pad_rows(x0, n)
 
-        rng = jax.random.PRNGKey(seed)
-        samples, _ = self.sampler.sample(
-            S=steps, c=c, w=w, batch_size=count, params=self.params,
-            shape=(self.model.z_channels, z_length), eta=eta, rng=rng,
-            unconditional_guidance_scale=scale, unconditional_conditioning=uc,
-            mask=mask, x0=x0,
+        decoded = self._fused(
+            n, z_length, use_cfg=(scale != 1.0), use_mask=use_mask,
+        )(
+            self.params, jnp.asarray(mel), feature, uc_feature,
+            jax.random.PRNGKey(seed), scale, steps, eta,
+            *( (mask, x0) if use_mask else () ),
         )
-        decoded = self.model.decode(self.params, samples)  # [B, T, 16]
-        return np.asarray(decoded).transpose(0, 2, 1), z_length
+        return np.asarray(decoded[:count]).transpose(0, 2, 1), z_length
 
-    def warmup(self, buckets=None, count: int = 4, steps: int = 100,
+    def warmup(self, buckets=None, counts=(4,), steps: int = 100,
                scale: float = 5.0):
-        """Precompile the FUSED serving executable for each length bucket —
-        the path sample_charts actually dispatches — so first requests hit
-        the in-memory + persistent compile cache. The guidance scale is a
-        traced argument, so one warm covers the whole slider range."""
-        import numpy as np
-
+        """Precompile the FUSED serving executable for each (length bucket,
+        count bucket) — the path sample_charts actually dispatches — so
+        first requests hit the in-memory + persistent compile cache. Steps,
+        eta and guidance scale are traced arguments: one warm per structure
+        covers the ENTIRE slider surface (steps 10-200, CFG 1-30). With a
+        mesh, counts are padded to a mesh-divisible bucket so the warmed
+        executable is the sharded one actually served."""
         buckets = buckets or self.z_length_buckets
         ratio = self.max_audio_frame // self.model.z_length
-        feature = self.encode_prompt({}, count)
         for z_length in buckets:
             mel = jnp.zeros((self.n_mels, z_length * ratio), jnp.float32)
-            out = self._fused(steps, scale, count, z_length)(
-                self.params, mel, feature, feature,
-                jax.random.PRNGKey(0), scale,
-            )
-            np.asarray(out)  # force compile + execute
+            for count in counts:
+                n = self._count_bucket(count)
+                feature = self.encode_prompt({}, n)
+                out = self._fused(n, z_length)(
+                    self.params, mel, feature, feature,
+                    jax.random.PRNGKey(0), scale, steps, 0.0,
+                )
+                np.asarray(out)  # force compile + execute
 
     def sample_charts_batched(
         self,
@@ -323,18 +347,21 @@ class GenerationPipeline:
             axis=0,
         )  # [n, n_mels, frames]
         n = len(audio_paths)
-        feature = self.encode_prompt(list(feature_dicts), n)
-        uc_feature = self.encode_prompt({}, n)
+        nb = self._count_bucket(n)  # pad songs to a batch-shape bucket
+        feature = self.encode_prompt(
+            list(feature_dicts) + [{}] * (nb - n), nb
+        )
+        uc_feature = self.encode_prompt({}, nb)
 
         # fused multi-song path (single dispatch; see apps/serving)
         decoded = self._fused(
-            steps, scale, n, z_length, input_kind="mel_batch",
+            nb, z_length, use_cfg=(scale != 1.0), input_kind="mel_batch",
             mel_frames=frames,
         )(
-            self.params, jnp.asarray(batch), feature, uc_feature,
-            jax.random.PRNGKey(seed), scale,
+            self.params, _pad_rows(batch, nb), feature, uc_feature,
+            jax.random.PRNGKey(seed), scale, steps, 0.0,
         )
-        return np.asarray(decoded).transpose(0, 2, 1), z_length
+        return np.asarray(decoded[:n]).transpose(0, 2, 1), z_length
 
     # ------------------------------------------------------ serialization
 

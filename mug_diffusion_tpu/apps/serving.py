@@ -28,8 +28,10 @@ import jax.numpy as jnp
 
 from mug_diffusion_tpu.diffusion.ddim import (
     DDIMSampler,
+    ddim_dynamic_core,
     ddim_scan_core,
     extract_s4_kernels,
+    make_dynamic_schedule_tables,
 )
 from mug_diffusion_tpu.ops.mel import melspectrogram_on_device
 
@@ -37,13 +39,14 @@ from mug_diffusion_tpu.ops.mel import melspectrogram_on_device
 def build_fused_generate(
     ddpm,
     *,
-    steps: int,
-    scale: float,
+    steps: Optional[int] = None,
+    scale: float = 5.0,
     count: int,
     z_length: int,
     mel_frames: Optional[int] = None,
     eta: float = 0.0,
     temperature: float = 1.0,
+    use_mask: bool = False,
     out_dtype=jnp.float32,
     sr: int = 22050,
     n_mels: int = 128,
@@ -59,6 +62,20 @@ def build_fused_generate(
     wave_samples: raw 1-D PCM at the config sample rate (padded/truncated on
     device to ``mel_frames`` mel frames). feature/uc_feature: [count, F]
     embedding ids.
+
+    ``steps=None`` (the serving default) builds the DYNAMIC executable: the
+    DDIM step count and eta become TRACED arguments of the returned callable
+    (``generate(..., guidance_scale, steps, eta)``) — one compiled graph
+    serves the entire webui slider surface (steps 10-200, CFG 1-30, eta),
+    matching the reference's serve-any-combo behavior
+    (ref webui.py:602-608, mug/diffusion/ddim.py:56) with zero per-request
+    recompiles. A data-dependent ``lax.while_loop`` runs exactly ``steps``
+    U-Net evaluations. An integer ``steps`` bakes the schedule as scan
+    constants (used by A/B benches and parity tests).
+
+    ``use_mask=True`` adds traced ``mask``/``x0`` latent arguments for
+    masked partial regeneration fused into the same single dispatch
+    (ref ddim.py:141-144); pass mask=0 to regenerate everything.
 
     When ``mesh`` is given (a ``jax.sharding.Mesh`` with a ``data_axis``
     axis), the sample batch — noise, conditioning, the whole CFG-doubled
@@ -77,16 +94,25 @@ def build_fused_generate(
     then resharded to the batch axis for the DDIM scan.
     """
     mel_frames = mel_frames or z_length * 64
-    sampler = DDIMSampler(ddpm)
-    sched = sampler.make_schedule(steps, ddim_eta=eta)
-    # numpy closures become XLA constants — no per-call upload
-    tables = (
-        jnp.asarray(sched["timesteps"], jnp.int32),
-        jnp.asarray(sched["alphas"]),
-        jnp.asarray(sched["alphas_prev"]),
-        jnp.asarray(sched["sigmas"]),
-        jnp.asarray(sched["sqrt_one_minus_alphas"]),
-    )
+    dynamic = steps is None
+    if dynamic:
+        # full-length schedule constants; steps/eta are call-time scalars
+        full_tables = make_dynamic_schedule_tables(ddpm.schedule)
+    else:
+        sampler = DDIMSampler(ddpm)
+        sched = sampler.make_schedule(steps, ddim_eta=eta)
+        # numpy closures become XLA constants — no per-call upload
+        tables = (
+            jnp.asarray(sched["timesteps"], jnp.int32),
+            jnp.asarray(sched["alphas"]),
+            jnp.asarray(sched["alphas_prev"]),
+            jnp.asarray(sched["sigmas"]),
+            jnp.asarray(sched["sqrt_one_minus_alphas"]),
+        )
+    if use_mask and not dynamic:
+        raise ValueError(
+            "use_mask fused serving requires dynamic steps (steps=None)"
+        )
     use_cfg = scale != 1.0
     n_levels = len(ddpm.model.unet_config["params"]["channel_mult"])
     wrapper_cls = type(ddpm.model)
@@ -125,10 +151,13 @@ def build_fused_generate(
                 return a
 
         audio_sh = batch_sh if input_kind == "mel_batch" else rep_sh
+        in_sh = [rep_sh, audio_sh, batch_sh, batch_sh, rep_sh, rep_sh]
+        if dynamic:
+            in_sh += [rep_sh, rep_sh]  # steps, eta scalars
+        if use_mask:
+            in_sh += [batch_sh, batch_sh]  # mask, x0 latents
         jit_kwargs = dict(
-            in_shardings=(
-                rep_sh, audio_sh, batch_sh, batch_sh, rep_sh, rep_sh
-            ),
+            in_shardings=tuple(in_sh),
             out_shardings=batch_sh,
         )
     else:
@@ -140,7 +169,7 @@ def build_fused_generate(
 
     @partial(jax.jit, **jit_kwargs)
     def _generate(params, audio_in, feature, uc_feature, rng,
-                  guidance_scale):
+                  guidance_scale, *extra):
         if input_kind == "wave":  # raw PCM -> mel on device
             mel = melspectrogram_on_device(
                 audio_in, sr=sr, n_mels=n_mels, hop_length=n_fft // 4,
@@ -177,6 +206,12 @@ def build_fused_generate(
             for wi in list(w1)[-n_levels:]
         ]
 
+        it = iter(extra)
+        steps_arg = next(it) if dynamic else None
+        eta_arg = next(it) if dynamic else None
+        mask = shard(next(it)) if use_mask else None
+        x0 = shard(next(it)) if use_mask else None
+
         rng, rng_init = jax.random.split(rng)
         size = (count, z_length, ddpm.z_channels)
         x = shard(jax.random.normal(rng_init, size))
@@ -193,12 +228,21 @@ def build_fused_generate(
         s4k = extract_s4_kernels(ddpm, params, x_probe, c_in, w_in)
         params_k = {**params, **s4k}
 
-        x_final, _ = ddim_scan_core(
-            ddpm, params_k, x, c_in, w_in,
-            jnp.zeros(size), jnp.zeros(size), rng, tables, guidance_scale,
-            use_cfg=use_cfg, use_mask=False, temperature=temperature,
-            collect=False,
-        )
+        mask_in = mask if use_mask else jnp.zeros(size)
+        x0_in = x0 if use_mask else jnp.zeros(size)
+        if dynamic:
+            x_final = ddim_dynamic_core(
+                ddpm, params_k, x, c_in, w_in, mask_in, x0_in, rng,
+                steps_arg, eta_arg, guidance_scale, full_tables,
+                use_cfg=use_cfg, use_mask=use_mask, temperature=temperature,
+            )
+        else:
+            x_final, _ = ddim_scan_core(
+                ddpm, params_k, x, c_in, w_in,
+                mask_in, x0_in, rng, tables, guidance_scale,
+                use_cfg=use_cfg, use_mask=use_mask, temperature=temperature,
+                collect=False,
+            )
         decoded = ddpm.model.apply(
             params, x_final, method=wrapper_cls.decode
         )
@@ -211,16 +255,41 @@ def build_fused_generate(
             ).astype(jnp.int8)
         return decoded.astype(out_dtype)
 
-    def generate(params, audio_in, feature, uc_feature, rng,
-                 guidance_scale=scale):
-        """``guidance_scale`` is a TRACED scalar: any value reuses the one
-        compiled executable (the webui exposes a 1-30 slider — a baked
-        constant would recompile minutes per notch). The build-time
-        ``scale`` only decides the CFG structure (scale==1.0 builds the
-        single-pass graph) and serves as the default."""
-        return _generate(
-            params, audio_in, feature, uc_feature, rng,
-            jnp.float32(guidance_scale),
-        )
+    if dynamic:
+        def generate(params, audio_in, feature, uc_feature, rng,
+                     guidance_scale, steps, eta=0.0, mask=None, x0=None):
+            """``guidance_scale``, ``steps`` and ``eta`` are TRACED scalars:
+            every slider combination reuses this one compiled executable.
+            Only the CFG structure (scale==1.0 at build time) and
+            ``use_mask`` change the graph. No defaults for scale/steps —
+            the cached executable must not silently reuse a build-time
+            value."""
+            extra = [jnp.int32(steps), jnp.float32(eta)]
+            if use_mask:
+                size = (count, z_length, ddpm.z_channels)
+                extra += [
+                    jnp.zeros(size) if mask is None
+                    else jnp.broadcast_to(mask, size).astype(jnp.float32),
+                    jnp.zeros(size) if x0 is None
+                    else jnp.broadcast_to(x0, size).astype(jnp.float32),
+                ]
+            return _generate(
+                params, audio_in, feature, uc_feature, rng,
+                jnp.float32(guidance_scale), *extra,
+            )
+    else:
+        def generate(params, audio_in, feature, uc_feature, rng,
+                     guidance_scale=scale):
+            """``guidance_scale`` is a TRACED scalar: any value reuses the
+            one compiled executable (the webui exposes a 1-30 slider — a
+            baked constant would recompile minutes per notch). The
+            build-time ``scale`` only decides the CFG structure
+            (scale==1.0 builds the single-pass graph) and serves as the
+            default."""
+            return _generate(
+                params, audio_in, feature, uc_feature, rng,
+                jnp.float32(guidance_scale),
+            )
 
+    generate._jitted = _generate  # test hook: inspect XLA cache size
     return generate

@@ -261,8 +261,13 @@ class OsuDataset:
             if self.length_buckets:
                 nz = np.nonzero(valid_flag)[0]
                 needed = int(nz.max()) + 1 if nz.size else 1
+                # +2 s: the audio context past the last note is kept (zeroed
+                # after, see below) like the reference — the bucket must
+                # cover it, not crop it (charts ending just under a bucket
+                # boundary would otherwise lose their tail context)
+                tail = int(np.ceil(2000.0 / convertor_params["frame_ms"]))
                 nb = next(
-                    (b for b in self.length_buckets if b >= needed),
+                    (b for b in self.length_buckets if b >= needed + tail),
                     self.length_buckets[-1],
                 )
             example = {
@@ -390,7 +395,8 @@ class Loader:
     ref config num_workers: 7)."""
 
     def __init__(self, dataset: OsuDataset, batch_size: int, shuffle: bool,
-                 num_workers: int = 7, seed: int = 0, drop_last: bool = True):
+                 num_workers: int = 7, seed: int = 0, drop_last: bool = True,
+                 scale_batch_by_bucket: bool = False):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -398,8 +404,28 @@ class Loader:
         self.seed = seed
         self.epoch = 0
         self.drop_last = drop_last
+        # equal-token-budget batching: a bucket at half the max length gets
+        # twice the batch (short buckets otherwise waste MXU on fixed
+        # per-step overheads — MFU 0.13 at z=128 vs 0.25 at z=512 with a
+        # constant batch, docs/PERF.md)
+        self.scale_batch_by_bucket = scale_batch_by_bucket
+
+    def _bucket_batch(self, note_frames: int) -> int:
+        buckets = getattr(self.dataset, "length_buckets", None)
+        if not (self.scale_batch_by_bucket and buckets):
+            return self.batch_size
+        ref = max(buckets)
+        return max(self.batch_size,
+                   self.batch_size * (ref // max(note_frames, 1)))
 
     def __len__(self):
+        if getattr(self.dataset, "length_buckets", None):
+            # batch count depends on the realized bucket distribution
+            # (per-bucket grouping + leftover merging) — not knowable
+            # without loading every item
+            raise TypeError(
+                "Loader length is data-dependent under bucketed iteration"
+            )
         n = len(self.dataset) // self.batch_size
         if not self.drop_last and len(self.dataset) % self.batch_size:
             n += 1
@@ -448,14 +474,21 @@ class Loader:
         def absorb(ex):
             b = ex["note"].shape[0]
             pools[b].append(ex)
-            if len(pools[b]) == self.batch_size:
+            if len(pools[b]) >= self._bucket_batch(b):
                 return collate(pools.pop(b))
             return None
 
         with ThreadPoolExecutor(self.num_workers) as pool:
             # strict in-flight bound: block on the oldest future once the
-            # window fills (completed results hold ~MBs of mel each)
+            # window fills (completed results hold ~MBs of mel each; token-
+            # budget batches hold more items of proportionally smaller mels)
             window = max(2 * self.batch_size, 2 * self.num_workers)
+            if self.scale_batch_by_bucket and \
+                    getattr(self.dataset, "length_buckets", None):
+                buckets = self.dataset.length_buckets
+                window = max(
+                    window, 2 * self._bucket_batch(min(buckets))
+                )
             futures: deque = deque()
             for i in order:
                 futures.append(pool.submit(self.dataset.__getitem__, int(i)))
@@ -476,8 +509,9 @@ class Loader:
         target = max(e["note"].shape[0] for e in rest)
         ratio = self.dataset.audio_note_window_ratio
         rest = [_pad_example_to(e, target, ratio) for e in rest]
-        for s in range(0, len(rest), self.batch_size):
-            chunk = rest[s : s + self.batch_size]
-            if len(chunk) < self.batch_size and self.drop_last:
+        merged_bs = self._bucket_batch(target)
+        for s in range(0, len(rest), merged_bs):
+            chunk = rest[s : s + merged_bs]
+            if len(chunk) < merged_bs and self.drop_last:
                 return
             yield collate(chunk)

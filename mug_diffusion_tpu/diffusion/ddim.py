@@ -200,6 +200,48 @@ class DDIMSampler:
         return run
 
 
+def _ddim_step_math(
+    model, params, x, rng, c_in, w_in, mask, x0, per_step, guidance_scale,
+    *, use_cfg, use_mask, temperature, noise_dropout,
+):
+    """One DDIM update (ref: mug/diffusion/ddim.py:162-196). Shared verbatim
+    by the static-steps scan core and the traced-steps while core so the two
+    paths are bitwise-identical given equal per-step constants. The rng
+    split order (mask q_sample -> step noise -> dropout) is part of the
+    contract."""
+    ts, a_t, a_prev, sigma_t, sqrt_oma = per_step
+    B = x.shape[0]
+    t_vec = jnp.full((B,), ts, jnp.int32)
+
+    if use_mask:
+        rng, rng_q = jax.random.split(rng)
+        noise_q = jax.random.normal(rng_q, x.shape)
+        x_orig = model.q_sample(x0, t_vec, noise_q)
+        x = x_orig * mask + (1.0 - mask) * x
+
+    if use_cfg:
+        x_dbl = jnp.concatenate([x, x], axis=0)
+        t_dbl = jnp.concatenate([t_vec, t_vec], axis=0)
+        out = model.apply_model(params, x_dbl, t_dbl, c_in, w_in)
+        e_uncond, e_cond = jnp.split(out, 2, axis=0)
+        e_t = e_uncond + guidance_scale * (e_cond - e_uncond)
+    else:
+        e_t = model.apply_model(params, x, t_vec, c_in, w_in)
+
+    pred_x0 = (x - sqrt_oma * e_t) / jnp.sqrt(a_t)
+    dir_xt = jnp.sqrt(1.0 - a_prev - sigma_t ** 2) * e_t
+    rng, rng_n = jax.random.split(rng)
+    noise = sigma_t * jax.random.normal(rng_n, x.shape) * temperature
+    if noise_dropout > 0.0:
+        rng, rng_d = jax.random.split(rng)
+        keep = jax.random.bernoulli(
+            rng_d, 1.0 - noise_dropout, noise.shape
+        )
+        noise = jnp.where(keep, noise / (1.0 - noise_dropout), 0.0)
+    x_prev = jnp.sqrt(a_prev) * pred_x0 + dir_xt + noise
+    return x_prev, pred_x0, rng
+
+
 def ddim_scan_core(
     model, params, x, c_in, w_in, mask, x0, rng, tables, guidance_scale,
     *, use_cfg, use_mask, temperature=1.0, noise_dropout=0.0, collect=True,
@@ -211,47 +253,91 @@ def ddim_scan_core(
     collect=False emits no per-step outputs (the scan carries only x),
     saving the [S, B, T, C] x2 trajectory stores; returns (x_final, None).
     """
-    timesteps, alphas, alphas_prev, sigmas, sqrt_omas = tables
-    B = x.shape[0]
 
     def step(carry, per_step):
         x, rng = carry
-        ts, a_t, a_prev, sigma_t, sqrt_oma = per_step
-        t_vec = jnp.full((B,), ts, jnp.int32)
-
-        if use_mask:
-            rng, rng_q = jax.random.split(rng)
-            noise_q = jax.random.normal(rng_q, x.shape)
-            x_orig = model.q_sample(x0, t_vec, noise_q)
-            x = x_orig * mask + (1.0 - mask) * x
-
-        if use_cfg:
-            x_dbl = jnp.concatenate([x, x], axis=0)
-            t_dbl = jnp.concatenate([t_vec, t_vec], axis=0)
-            out = model.apply_model(params, x_dbl, t_dbl, c_in, w_in)
-            e_uncond, e_cond = jnp.split(out, 2, axis=0)
-            e_t = e_uncond + guidance_scale * (e_cond - e_uncond)
-        else:
-            e_t = model.apply_model(params, x, t_vec, c_in, w_in)
-
-        pred_x0 = (x - sqrt_oma * e_t) / jnp.sqrt(a_t)
-        dir_xt = jnp.sqrt(1.0 - a_prev - sigma_t ** 2) * e_t
-        rng, rng_n = jax.random.split(rng)
-        noise = sigma_t * jax.random.normal(rng_n, x.shape) * temperature
-        if noise_dropout > 0.0:
-            rng, rng_d = jax.random.split(rng)
-            keep = jax.random.bernoulli(
-                rng_d, 1.0 - noise_dropout, noise.shape
-            )
-            noise = jnp.where(keep, noise / (1.0 - noise_dropout), 0.0)
-        x_prev = jnp.sqrt(a_prev) * pred_x0 + dir_xt + noise
+        x_prev, pred_x0, rng = _ddim_step_math(
+            model, params, x, rng, c_in, w_in, mask, x0, per_step,
+            guidance_scale, use_cfg=use_cfg, use_mask=use_mask,
+            temperature=temperature, noise_dropout=noise_dropout,
+        )
         ys = (x_prev, pred_x0) if collect else None
         return (x_prev, rng), ys
 
-    (x_final, _), ys = jax.lax.scan(
-        step, (x, rng),
-        (timesteps, alphas, alphas_prev, sigmas, sqrt_omas),
-    )
+    (x_final, _), ys = jax.lax.scan(step, (x, rng), tables)
     if collect:
         return ys
     return x_final, None
+
+
+def make_dynamic_schedule_tables(schedule):
+    """Full-length (T=1000) constants for the traced-steps sampler.
+
+    These are built exactly like ``DDIMSampler.make_schedule`` builds its
+    per-step tables (float64 math, float32 storage) so that gathering them
+    at the uniform-stride timesteps reproduces the static tables BITWISE:
+    the static path does ``f32(f64sqrt(1 - f64(acum_f32)))`` per entry, so
+    we precompute that for every t once."""
+    acum64 = np.asarray(schedule.alphas_cumprod, np.float64)
+    return (
+        jnp.asarray(acum64.astype(np.float32)),                 # ACUM[t]
+        jnp.asarray(np.sqrt(1.0 - acum64).astype(np.float32)),  # sqrt(1-ACUM)
+    )
+
+
+def ddim_dynamic_core(
+    model, params, x, c_in, w_in, mask, x0, rng, steps, eta, guidance_scale,
+    full_tables, *, use_cfg, use_mask, temperature=1.0,
+):
+    """DDIM trajectory with a TRACED step count: one compiled executable
+    serves every (steps, eta, guidance_scale) combination of the webui
+    sliders (ref: webui.py:602-608 serves any combo; mug/diffusion/ddim.py:56
+    takes ``S`` at call time — a static-shapes XLA design must not regress
+    this to one compile per steps value).
+
+    The uniform-stride schedule (ref: mug/diffusion/utils.py:50-66,
+    ``arange(0, 1000, 1000//S) + 1``) is re-derived in-graph with integer
+    ops and per-step constants are gathered from full-length float32 tables,
+    so a traced ``steps=S`` run is bitwise-identical to the static scan at
+    S. A ``lax.while_loop`` with a data-dependent trip count runs exactly
+    the active steps — steps=10 does 10 U-Net evals, not max_steps.
+
+    ``eta`` is traced too: sigmas are computed in-graph from alpha gathers
+    (DDIM paper eq. 16, ref utils.py:69-80). Returns x_final.
+    """
+    acum, sqrt_om = full_tables
+    T = acum.shape[0]
+    steps = jnp.clip(jnp.asarray(steps, jnp.int32), 1, T)
+    stride = T // steps
+    num = (T - 1) // stride + 1  # == len(range(0, T, stride))
+    eta = jnp.asarray(eta, jnp.float32)
+    acum_first = acum[0]  # alphas_prev[0] = alphacums[0] (ref utils.py:74)
+
+    def cond_fn(carry):
+        return carry[0] < num
+
+    def body_fn(carry):
+        j, x, rng = carry
+        # visit order is descending t (ref ddim.py:130 flips the tables):
+        # while-iteration j handles original schedule index i = num-1-j
+        i = num - 1 - j
+        ts = jnp.minimum(i * stride + 1, T - 1)
+        ts_prev = jnp.minimum(jnp.maximum(i - 1, 0) * stride + 1, T - 1)
+        a_t = acum[ts]
+        a_prev = jnp.where(i == 0, acum_first, acum[ts_prev])
+        sqrt_oma = sqrt_om[ts]
+        sigma_t = eta * jnp.sqrt(
+            (1.0 - a_prev) / (1.0 - a_t) * (1.0 - a_t / a_prev)
+        )
+        x_prev, _, rng = _ddim_step_math(
+            model, params, x, rng, c_in, w_in, mask, x0,
+            (ts, a_t, a_prev, sigma_t, sqrt_oma), guidance_scale,
+            use_cfg=use_cfg, use_mask=use_mask,
+            temperature=temperature, noise_dropout=0.0,
+        )
+        return j + 1, x_prev, rng
+
+    _, x_final, _ = jax.lax.while_loop(
+        cond_fn, body_fn, (jnp.int32(0), x, rng)
+    )
+    return x_final

@@ -281,22 +281,42 @@ class DDPM:
             max_step = self.num_timesteps
         rng_t, rng_noise, rng_drop = jax.random.split(rng, 3)
 
+        # mixed-precision training (beyond the reference, which trains fp32,
+        # ref main.py has no AMP): fp32 master params + optimizer state, the
+        # forward/backward network compute in bf16 (the cast is inside the
+        # differentiated graph, so grads come back fp32 on the masters), the
+        # diffusion q-sample math, targets, loss and norm stats in fp32.
+        bf16 = self.compute_dtype == jnp.bfloat16
+        if bf16:
+            from mug_diffusion_tpu.utils.precision import cast_floating
+
+            apply_params = cast_floating(params)
+            audio_in = batch["audio"].astype(jnp.bfloat16)
+            note_in = batch["note"].astype(jnp.bfloat16)
+        else:
+            apply_params = params
+            audio_in = batch["audio"]
+            note_in = batch["note"]
+
         def run(module):
-            posterior = module.encode(batch["note"], not train)
-            x_start = posterior.mode()
+            posterior = module.encode(note_in, not train)
+            x_start = posterior.mode().astype(jnp.float32)
             B = x_start.shape[0]
             t = jax.random.randint(rng_t, (B,), min_step, max_step)
             noise = jax.random.normal(rng_noise, x_start.shape)
             x_noisy = noise if all_noise else self.q_sample(x_start, t, noise)
             c = module.cond_output(batch["feature"])
-            w = module.wave_output(batch["audio"], not train)
-            model_out = module(x_noisy, t, c, w, not train)
+            w = module.wave_output(audio_in, not train)
+            model_out = module(
+                x_noisy.astype(self.compute_dtype), t, c, w, not train
+            )
             return model_out, x_start, posterior, t, noise
 
         rngs = {"dropout": rng_drop} if train else {}
         model_out, x_start, posterior, t, noise = self.model.apply(
-            params, method=run, rngs=rngs
+            apply_params, method=run, rngs=rngs
         )
+        model_out = model_out.astype(jnp.float32)
 
         if self.parameterization == "eps":
             target = noise

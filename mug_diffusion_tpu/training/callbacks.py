@@ -95,6 +95,77 @@ class BeatmapLogger:
             except Exception as e:  # noqa: BLE001
                 print(f"BeatmapLogger failed for {path}: {e}")
 
+        # recurring chart-quality gate: mini-jack counts and note totals of
+        # the fully denoised (step=0) samples vs their ground-truth charts,
+        # logged as metrics.csv columns per validation so quality TRENDS are
+        # visible across checkpoints — the reference only had the one-off
+        # offline script (ref scripts/jack_speed_statistics.py)
+        try:
+            quality = self._quality_metrics(save_root)
+            if quality:
+                trainer.logger.log(quality, trainer.global_step)
+                if getattr(trainer, "wandb_run", None) is not None:
+                    trainer.wandb_run.log(quality, step=trainer.global_step)
+        except Exception as e:  # noqa: BLE001
+            print(f"BeatmapLogger quality metrics failed: {e}")
+
+    @staticmethod
+    def _quality_metrics(save_root, jack_interval_ms: float = 100.0):
+        """Walk one probe dump: mini-jack counts (<100 ms same-column) and
+        note counts for generated step=0 charts vs the copied originals."""
+        from collections import defaultdict
+
+        def stats(osu_path):
+            hit_objects, _ = convertor.parse_osu_file(osu_path, None)
+            per_col = defaultdict(list)
+            for line in hit_objects:
+                p = line.split(",")
+                per_col[int(int(float(p[0])) / 128)].append(int(float(p[2])))
+            jacks = 0
+            for starts in per_col.values():
+                starts.sort()
+                jacks += sum(
+                    1 for a, b in zip(starts, starts[1:])
+                    if b - a < jack_interval_ms
+                )
+            return jacks, len(hit_objects)
+
+        gen_jacks = gen_notes = ref_jacks = ref_notes = 0
+        n_gen = n_ref = 0
+        for root, _, files in os.walk(save_root):
+            for name in files:
+                if not name.endswith(".osu"):
+                    continue
+                path = os.path.join(root, name)
+                if name.endswith("_step=0.osu"):
+                    j, n = stats(path)
+                    gen_jacks += j
+                    gen_notes += n
+                    n_gen += 1
+                elif "_step=" not in name:
+                    j, n = stats(path)
+                    ref_jacks += j
+                    ref_notes += n
+                    n_ref += 1
+        if n_gen == 0:
+            return None
+        metrics = {
+            "quality/gen_jacks": gen_jacks,
+            "quality/gen_notes": gen_notes,
+            "quality/gen_jack_rate_per_1k": (
+                1000.0 * gen_jacks / max(gen_notes, 1)
+            ),
+        }
+        if n_ref:
+            metrics.update({
+                "quality/ref_jacks": ref_jacks,
+                "quality/ref_notes": ref_notes,
+                "quality/ref_jack_rate_per_1k": (
+                    1000.0 * ref_jacks / max(ref_notes, 1)
+                ),
+            })
+        return metrics
+
     def _log_vae(self, trainer, batch):
         """VAE round-trip dump: encode -> posterior sample -> decode, saving
         reconstructed .osu charts beside the originals so a human can A/B

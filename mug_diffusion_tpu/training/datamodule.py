@@ -22,9 +22,11 @@ class DataModuleFromConfig:
         common_params=None,
         wrap=False,
         num_workers: Optional[int] = None,
+        scale_batch_by_bucket: bool = False,
     ):
         self.batch_size = batch_size
         self.num_workers = num_workers if num_workers is not None else 2
+        self.scale_batch_by_bucket = scale_batch_by_bucket
         self.common_params = dict(common_params or {})
         self.dataset_configs = {}
         if train is not None:
@@ -49,10 +51,12 @@ class DataModuleFromConfig:
         return Loader(
             self.datasets["train"], self.batch_size, shuffle=True,
             num_workers=self.num_workers,
+            scale_batch_by_bucket=self.scale_batch_by_bucket,
         )
 
     def val_dataloader(self) -> Loader:
         return Loader(
             self.datasets["validation"], self.batch_size, shuffle=False,
             num_workers=self.num_workers, drop_last=False,
+            scale_batch_by_bucket=self.scale_batch_by_bucket,
         )

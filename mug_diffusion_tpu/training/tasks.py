@@ -89,10 +89,10 @@ class DiffusionTask:
         scheduler_config = self.model.scheduler_config
         if scheduler_config is not None:
             scheduler = instantiate_from_config(scheduler_config)
-            lr_fn = lambda step: learning_rate * scheduler.schedule(int(step))
             # optax schedules must be traceable; wrap via host constants:
             # LambdaLinearScheduler is piecewise-linear -> implement traceably
             lr_fn = _traceable_lambda_linear(scheduler, learning_rate)
+            self.lr_fn = lr_fn  # Trainer logs the live scheduled value
         else:
             lr_fn = learning_rate
         return _masked_adamw(lr_fn, mask)

@@ -147,6 +147,7 @@ class Trainer:
         self.global_step = 0
         self.params = None
         self.opt_state = None
+        self._last_ckpt_epoch = None
         self._top_k: List[tuple] = []  # (monitor_value, path)
         # ReduceLROnPlateau state (VAE task, ref autoencoder.py:145)
         self._plateau_best = None
@@ -210,7 +211,7 @@ class Trainer:
         rep = replicated_sharding(self.mesh)
         data = batch_sharding(self.mesh)
 
-        def train_step(params, opt_state, batch, rng, step):
+        def train_step(params, opt_state, batch, rng):
             def loss_wrapper(p):
                 loss, logs = task.loss_fn(p, batch, rng, train=True)
                 return loss, logs
@@ -226,7 +227,7 @@ class Trainer:
 
         self._train_step = jax.jit(
             train_step,
-            in_shardings=(rep, rep, data, rep, None),
+            in_shardings=(rep, rep, data, rep),
             out_shardings=(rep, rep, rep, rep),
             donate_argnums=(0, 1),
         )
@@ -272,6 +273,17 @@ class Trainer:
         tensors = {
             k: v for k, v in batch.items() if isinstance(v, np.ndarray)
         }
+        # uneven final batches (drop_last=False loaders, merged bucket
+        # leftovers) must still divide the mesh data axis: pad by CYCLING
+        # real samples — zero rows would poison GroupNorm stats (0/0 at zero
+        # variance -> NaN grads, docs/PERF.md). The repeats bias the last
+        # batch's mean loss slightly, same as the reference's smaller final
+        # DDP batch reweighting (ref main.py:536-537 DDP + drop_last=False).
+        n_dev = int(np.prod(self.mesh.devices.shape))
+        b = next(iter(tensors.values())).shape[0] if tensors else 0
+        if b and b % n_dev != 0:
+            idx = np.resize(np.arange(b), b + (-b) % n_dev)
+            tensors = {k: np.asarray(v)[idx] for k, v in tensors.items()}
         return shard_batch(tensors, self.mesh)
 
     def fit(self, datamodule):
@@ -298,7 +310,6 @@ class Trainer:
                         self.params, self.opt_state, loss, logs
                     ) = self._train_step(
                         self.params, self.opt_state, dev_batch, step_rng,
-                        self.global_step,
                     )
                     self.global_step += 1
                     if self.profile_dir and self.global_step == self.profile_steps[0]:
@@ -308,7 +319,10 @@ class Trainer:
                     if self.global_step % self.log_every_n_steps == 0:
                         logs = jax.device_get(logs)
                         logs["epoch"] = epoch
-                        logs["lr"] = float(self.learning_rate)
+                        # the ACTUAL scheduled/plateau-scaled LR, not the
+                        # constant base rate (ref LearningRateMonitor,
+                        # main.py:632-638, logged the live value)
+                        logs["lr"] = self._current_lr()
                         from mug_diffusion_tpu.training.callbacks import (
                             DeviceStatsCallback,
                         )
@@ -350,9 +364,13 @@ class Trainer:
                 # cadence (interrupt/exception/max-steps still save)
                 if (epoch + 1) % self.save_last_every_n_epochs == 0:
                     self.save_checkpoint("last")
-            # normal max_epochs completion on an off-cadence epoch must not
-            # lose the training tail
-            if self.max_epochs % self.save_last_every_n_epochs != 0:
+                    self._last_ckpt_epoch = epoch
+            # any loop exit on an epoch whose tail wasn't just saved must
+            # not lose it (off-cadence max_epochs, future break paths)
+            if (
+                self.max_epochs > 0
+                and self._last_ckpt_epoch != self.max_epochs - 1
+            ):
                 self.save_checkpoint("last")
         except KeyboardInterrupt:
             print("Interrupted; saving checkpoint.")
@@ -392,6 +410,32 @@ class Trainer:
         monitor_val = means.get(monitor, means.get("val/loss"))
         self._maybe_reduce_lr_on_plateau(monitor_val)
         return monitor_val
+
+    def _current_lr(self) -> float:
+        """The learning rate actually in effect this step: the injected
+        plateau-scaled LR from opt_state (VAE task), else the task's
+        schedule evaluated at the optimizer's inner update count (diffusion
+        LambdaLinear warmup — MultiSteps applies one inner update per
+        ``accumulate`` steps), else the constant scaled base rate."""
+
+        def find_injected(state):
+            if hasattr(state, "hyperparams") and \
+                    "learning_rate" in state.hyperparams:
+                return float(state.hyperparams["learning_rate"])
+            if isinstance(state, tuple):
+                for s in state:
+                    r = find_injected(s)
+                    if r is not None:
+                        return r
+            return None
+
+        injected = find_injected(self.opt_state)
+        if injected is not None:
+            return injected
+        lr_fn = getattr(self.task, "lr_fn", None)
+        if lr_fn is not None:
+            return float(lr_fn(self.global_step // self.accumulate))
+        return float(self.learning_rate)
 
     def _maybe_reduce_lr_on_plateau(self, monitor_val):
         """ReduceLROnPlateau for tasks exposing plateau_factor/patience

@@ -2,14 +2,15 @@
 
 First compilation of the fused generation executable costs minutes cold;
 the persistent XLA compilation cache (mug_diffusion_tpu/__init__.py,
-MUG_COMPILE_CACHE dir) makes subsequent process starts fast, but every
-(z_length bucket, steps, count, scale) signature still compiles once.
-Run this at deploy time (or bake the cache dir into the serving image) so
-first user requests hit warm executables.
+MUG_COMPILE_CACHE dir) makes subsequent process starts fast. Steps, eta
+and guidance scale are TRACED arguments of the dynamic executable, so the
+compile surface is only (z_length bucket, count bucket, cfg-structure) —
+warming the buckets below covers the ENTIRE webui slider range
+(steps 10-200, scale 1-30, count 1-16 padded to count buckets).
 
 Usage:
     python scripts/warmup_serving_cache.py [--buckets 128,256,512] \
-        [--steps 100] [--count 4] [--scale 5.0] [--tiny]
+        [--counts 4,8,16] [--tiny]
 """
 
 from __future__ import annotations
@@ -27,9 +28,10 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--buckets", type=str, default="128,192,256,320,384,448,"
                    "512,640,768,1024")
-    p.add_argument("--steps", type=int, default=100)
-    p.add_argument("--count", type=int, default=4)
-    p.add_argument("--scale", type=float, default=5.0)
+    p.add_argument("--counts", type=str, default="4",
+                   help="count buckets to warm, e.g. 4,8,16")
+    p.add_argument("--scale", type=float, default=5.0,
+                   help="traced; any value works for warming the CFG graph")
     p.add_argument("--tiny", action="store_true")
     opt = p.parse_args()
 
@@ -40,23 +42,27 @@ def main():
     from mug_diffusion_tpu.apps.serving import build_fused_generate
     from mug_diffusion_tpu.utils.config import instantiate_from_config
 
+    import numpy as np
+
     ddpm = instantiate_from_config(_model_config(tiny=opt.tiny))
     params = ddpm.init_params(jax.random.PRNGKey(0),
                               {"batch": 1, "z_length": 64})
-    feature = jnp.zeros((opt.count, 21), jnp.int32)
 
     timings = {}
     for z_length in (int(b) for b in opt.buckets.split(",")):
         wave = jnp.zeros((z_length * 64 * 128,), jnp.float32)
-        fused = build_fused_generate(
-            ddpm, steps=opt.steps, scale=opt.scale, count=opt.count,
-            z_length=z_length,
-        )
-        t0 = time.time()
-        fused(params, wave, feature, feature,
-              jax.random.PRNGKey(0)).block_until_ready()
-        timings[z_length] = round(time.time() - t0, 1)
-        print(f"bucket {z_length}: {timings[z_length]} s")
+        for count in (int(c) for c in opt.counts.split(",")):
+            feature = jnp.zeros((count, 21), jnp.int32)
+            fused = build_fused_generate(
+                ddpm, steps=None, scale=opt.scale, count=count,
+                z_length=z_length,
+            )
+            t0 = time.time()
+            np.asarray(fused(params, wave, feature, feature,
+                             jax.random.PRNGKey(0), opt.scale, 100, 0.0))
+            timings[f"{z_length}x{count}"] = round(time.time() - t0, 1)
+            print(f"bucket {z_length} count {count}: "
+                  f"{timings[f'{z_length}x{count}']} s")
     print(json.dumps({"warmup_seconds_per_bucket": timings}))
 
 

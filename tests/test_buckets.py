@@ -95,6 +95,49 @@ def test_drop_last_merges_leftovers_before_dropping(bucket_dataset):
     assert batches[0]["note"].shape[0] == 4  # merged + padded, 2 dropped
 
 
+def test_bucket_covers_audio_tail_context(bucket_dataset):
+    """The +2 s of audio context past the last note (zeroed after, like the
+    reference dataset.py:241-244) must fit inside the chosen bucket — the
+    crop must not truncate it."""
+    ds = bucket_dataset()
+    for i in range(len(ds)):
+        ex = ds[i]
+        nb = ex["note"].shape[0]
+        nz = np.nonzero(ex["valid_flag"])[0]
+        frame_ms = 128 / 22050 * 8 * 1000
+        tail = int(np.ceil(2000.0 / frame_ms))
+        if nz.max() + 1 + tail <= max(BUCKETS):
+            assert nz.max() + 1 + tail <= nb, (nz.max(), nb)
+
+
+def test_token_budget_per_bucket_batching(bucket_dataset):
+    """scale_batch_by_bucket: a bucket at 1/2 the max length fills 2x the
+    batch (equal token budget per step -> MFU holds at short buckets)."""
+    ds = bucket_dataset()
+    loader = Loader(ds, batch_size=2, shuffle=False, num_workers=2,
+                    drop_last=True, scale_batch_by_bucket=True)
+    assert loader._bucket_batch(256) == 2   # max bucket: base batch
+    assert loader._bucket_batch(128) == 4   # half length -> double batch
+    assert loader._bucket_batch(64) == 8
+    batches = list(loader)
+    for b in batches:
+        nb = b["note"].shape[1]
+        # full batches must meet the bucket's scaled size; the merged
+        # leftover tail may be smaller only if drop_last kept it
+        assert b["note"].shape[0] * nb <= 2 * 256 + nb  # token budget bound
+    # 3 items in bucket 128 can't fill a batch of 4 -> they merge into the
+    # leftover path; 3 items in bucket 256 emit one base batch of 2
+    sizes = sorted((b["note"].shape[1], b["note"].shape[0]) for b in batches)
+    assert (256, 2) in sizes
+
+
+def test_loader_len_raises_under_buckets(bucket_dataset):
+    ds = bucket_dataset()
+    loader = Loader(ds, batch_size=2, shuffle=False)
+    with pytest.raises(TypeError):
+        len(loader)
+
+
 def test_bucket_guard_on_max():
     with pytest.raises(AssertionError):
         OsuDataset(txt_file=[], max_audio_frame=2048,

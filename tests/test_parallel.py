@@ -108,7 +108,6 @@ def test_trainer_resume_roundtrip(tmp_path):
     for _ in range(3):
         t1.params, t1.opt_state, loss, logs = t1._train_step(
             t1.params, t1.opt_state, dev, jax.random.PRNGKey(0),
-            t1.global_step,
         )
         t1.global_step += 1
     path = t1.save_checkpoint("last")
@@ -246,7 +245,6 @@ def test_trainer_multidevice_grad_accumulation(tmp_path):
         dev_batch = trainer._device_batch(batch)
         trainer.params, trainer.opt_state, loss, _ = trainer._train_step(
             trainer.params, trainer.opt_state, dev_batch, step_key,
-            trainer.global_step,
         )
         return float(np.asarray(loss))
 
@@ -329,3 +327,43 @@ def test_pipeline_mesh_divisibility_fallback():
     assert pipe._mesh_for(8) is mesh
     assert pipe._mesh_for(3) is None
     assert GenerationPipeline(tiny_config())._mesh_for(4) is None
+
+
+def test_device_batch_pads_uneven_to_mesh(tmp_path):
+    """An uneven batch (B % n_devices != 0) is padded by CYCLING real
+    samples in _device_batch — not zeros (all-zero rows NaN GroupNorm
+    stats) — and the jitted SPMD train step executes on it."""
+    import optax
+
+    from mug_diffusion_tpu.training.trainer import Trainer
+
+    class ToyTask:
+        config = {"params": {}}
+        monitor = "val/loss"
+
+        def init_params(self, rng, batch_spec=None):
+            return {"params": {"w": jnp.zeros((4,))}}
+
+        def loss_fn(self, params, batch, rng, train=True, **kw):
+            loss = jnp.sum((params["params"]["w"] - batch["y"]) ** 2)
+            return loss, {"train/loss": loss}
+
+        def validation_metrics(self, params, batch, rng, batch_idx):
+            return {}
+
+        def make_optimizer(self, params, lr):
+            return optax.sgd(lr)
+
+    mesh = create_mesh(n_devices=4)
+    t = Trainer(ToyTask(), str(tmp_path / "run"), base_learning_rate=0.1,
+                batch_size=4, mesh=mesh, scale_lr=False)
+    t.setup()
+    batch = {"y": np.arange(6 * 4, dtype=np.float32).reshape(6, 4)}
+    dev = t._device_batch(batch)
+    assert dev["y"].shape == (8, 4)  # padded 6 -> 8
+    # padding cycles rows 0,1 — not zeros
+    np.testing.assert_array_equal(np.asarray(dev["y"])[6:], batch["y"][:2])
+    t.params, t.opt_state, loss, _ = t._train_step(
+        t.params, t.opt_state, dev, jax.random.PRNGKey(0),
+    )
+    assert np.isfinite(float(loss))

@@ -228,6 +228,47 @@ def test_mapping_cli_end_to_end(tmp_path):
 def test_warmup_compiles_fused_executables(pipeline):
     """warmup() precompiles the FUSED serving path per bucket — the same
     cache key sample_charts uses must be populated."""
-    pipeline.warmup(buckets=[8], count=2, steps=2, scale=3.0)
-    key = (2, True, 2, 8, "mel", False)
+    pipeline.warmup(buckets=[8], counts=(2,), steps=2, scale=3.0)
+    key = (2, 8, True, False, "mel", False)
     assert key in pipeline._fused_cache
+
+
+def test_slider_surface_zero_recompiles(pipeline, wav_path):
+    """The whole webui slider surface — steps, guidance scale, eta, count —
+    must be served by a BOUNDED set of compiled executables: sweeping
+    steps/scale/eta reuses ONE XLA executable per (count-bucket, length,
+    cfg) structure with zero new compiles (the reference serves any combo
+    instantly, ref webui.py:602-608 + ddim.py:56)."""
+    pipeline._fused_cache.clear()
+    for steps, scale, eta, seed in [
+        (2, 3.0, 0.0, 0), (5, 9.5, 0.0, 1), (3, 2.0, 1.0, 2),
+    ]:
+        decoded, _ = pipeline.sample_charts(
+            wav_path, {"sr": 3.0}, count=2, steps=steps, scale=scale,
+            eta=eta, seed=seed,
+        )
+        assert decoded.shape == (2, 16, 64)
+        assert np.isfinite(decoded).all()
+    # one pipeline-level structure...
+    assert set(pipeline._fused_cache) == {(2, 8, True, False, "mel", False)}
+    # ...backed by exactly ONE compiled XLA executable
+    fn = pipeline._fused_cache[(2, 8, True, False, "mel", False)]
+    assert fn._jitted._cache_size() == 1
+    # different counts pad to buckets: 3 -> 4, and reuse thereafter
+    for count in (3, 4):
+        decoded, _ = pipeline.sample_charts(
+            wav_path, {"sr": 3.0}, count=count, steps=2, scale=3.0,
+        )
+        assert decoded.shape == (count, 16, 64)
+    assert (4, 8, True, False, "mel", False) in pipeline._fused_cache
+    assert len(pipeline._fused_cache) == 2
+
+
+def test_dynamic_steps_actually_change_output(pipeline, wav_path):
+    """Traced steps must reach the sampler: different step counts give
+    different charts from the same seed through the SAME executable."""
+    a, _ = pipeline.sample_charts(wav_path, {}, count=1, steps=2,
+                                  scale=3.0, seed=5)
+    b, _ = pipeline.sample_charts(wav_path, {}, count=1, steps=7,
+                                  scale=3.0, seed=5)
+    assert np.abs(a - b).mean() > 1e-7

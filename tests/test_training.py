@@ -290,3 +290,36 @@ def test_vae_trainer_fit_smoke(data_root, tmp_path):
 
     lr = find_lr(trainer.opt_state)
     assert lr is not None and lr < trainer.learning_rate
+
+
+def test_beatmap_logger_quality_metrics(tmp_path):
+    """The recurring quality gate: jack/note counts of generated step=0
+    charts vs originals, as loggable metrics (ref workflow:
+    scripts/jack_speed_statistics.py, here wired into validation)."""
+    from mug_diffusion_tpu.training.callbacks import BeatmapLogger
+
+    set_dir = tmp_path / "probe" / "songset"
+    set_dir.mkdir(parents=True)
+
+    def write_chart(path, gaps):
+        t = 1000
+        lines = []
+        for g in gaps:
+            lines.append(f"64,192,{t},1,0,0:0:0:0:")  # all column 0
+            t += g
+        path.write_text(
+            "osu file format v14\n\n[General]\nMode: 3\n\n[Difficulty]\n"
+            "CircleSize: 4\n\n[HitObjects]\n" + "\n".join(lines) + "\n"
+        )
+
+    # original: no mini-jacks (gaps 200 ms); generated: 4 jacks (<100 ms)
+    write_chart(set_dir / "orig.osu", [200] * 10)
+    write_chart(set_dir / "orig_step=0.osu", [50, 50, 50, 50, 200, 200])
+    write_chart(set_dir / "orig_step=500.osu", [10] * 20)  # must be ignored
+
+    m = BeatmapLogger._quality_metrics(str(tmp_path / "probe"))
+    assert m["quality/gen_jacks"] == 4
+    assert m["quality/gen_notes"] == 6
+    assert m["quality/ref_jacks"] == 0
+    assert m["quality/ref_notes"] == 10
+    assert abs(m["quality/gen_jack_rate_per_1k"] - 4000 / 6) < 1e-6
