@@ -117,18 +117,24 @@ def main():
         return steps * unet + wave + dec
 
     # fused single-dispatch serving path: whole generation (mel -> wave ->
-    # prompt -> 100-step CFG scan -> decode) is ONE executable; schedule
-    # tables are baked-in constants, so a call is one dispatch + one readback
+    # prompt -> 100-step CFG scan -> decode) is ONE executable. The DYNAMIC
+    # variant (steps/eta/scale traced — what the pipeline actually serves;
+    # one compile covers the whole webui slider surface) is the headline;
+    # the static variant (steps baked as scan constants) is measured for
+    # the dynamic-dispatch overhead comparison.
     from mug_diffusion_tpu.apps.serving import build_fused_generate
 
-    fused = build_fused_generate(
+    fused_dyn = build_fused_generate(
+        ddpm, steps=None, scale=scale, count=count, z_length=z_length,
+    )
+    fused_static = build_fused_generate(
         ddpm, steps=steps, scale=scale, count=count, z_length=z_length,
     )
 
     def generate_fused(seed):
         return np.asarray(
-            fused(params, wave_dev, feature, uc_feature,
-                  jax.random.PRNGKey(seed))
+            fused_dyn(params, wave_dev, feature, uc_feature,
+                      jax.random.PRNGKey(seed), scale, steps, 0.0)
         )
 
     # warmup (compile)
@@ -143,6 +149,17 @@ def main():
         out = generate_fused(i + 1)
         times.append(time.time() - t0)
     best = min(times)
+
+    # static-steps executable for comparison
+    np.asarray(fused_static(params, wave_dev, feature, uc_feature,
+                            jax.random.PRNGKey(0)))
+    static_times = []
+    for i in range(3):
+        t0 = time.time()
+        np.asarray(fused_static(params, wave_dev, feature, uc_feature,
+                                jax.random.PRNGKey(i + 1)))
+        static_times.append(time.time() - t0)
+    static_s = min(static_times)
 
     # modular (multi-dispatch) path for comparison
     generate(0)
@@ -181,6 +198,10 @@ def main():
                     "runs_s": [round(x, 3) for x in times],
                     "unet_steps_per_sec": round(steps / best, 2),
                     "charts_per_min_per_chip": round(count / best * 60, 1),
+                    "static_steps_path_s": round(static_s, 3),
+                    "dynamic_overhead_pct": round(
+                        (best / static_s - 1.0) * 100, 1
+                    ),
                     "modular_path_s": round(modular_s, 3),
                     "compute_dtype": str(ddpm.compute_dtype.__name__),
                     "total_gflops_per_generation": (

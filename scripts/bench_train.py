@@ -91,7 +91,13 @@ def main():
     note_len = z_len * 8
     mel_len = z_len * 64
 
-    ddpm = instantiate_from_config(_model_config(tiny=False))
+    cfg = _model_config(tiny=False)
+    # BENCH_TRAIN_REMAT=0: disable wave-encoder gradient checkpointing —
+    # bf16 halves activation memory, which may buy back the remat
+    # recompute (~1/3 of wave FLOPs) if the batch still fits in HBM
+    if os.environ.get("BENCH_TRAIN_REMAT", "1") == "0":
+        cfg["params"]["wave_stage_config"]["params"]["use_checkpoint"] = False
+    ddpm = instantiate_from_config(cfg)
     rng = jax.random.PRNGKey(0)
     params = ddpm.init_params(
         rng, {"batch": 1, "z_length": 64, "num_features": 21}
