@@ -153,12 +153,20 @@ def main():
     except Exception:
         step_flops = None
 
+    # BENCH_TRAIN_PROFILE=<dir>: capture an XLA device-timeline trace of the
+    # timed steps (the tunnel's profiler timelines are trustworthy even
+    # though block_until_ready is not — docs/PERF.md)
+    profile_dir = os.environ.get("BENCH_TRAIN_PROFILE")
+    if profile_dir:
+        jax.profiler.start_trace(profile_dir)
     t0 = time.time()
     for i in range(n):
         params, opt_state, loss = step(params, opt_state, batch,
                                        jax.random.PRNGKey(i))
     final = float(np.asarray(loss))  # in-order queue: forces all n steps
     dt = (time.time() - t0) / n
+    if profile_dir:
+        jax.profiler.stop_trace()
 
     try:
         stats = jax.devices()[0].memory_stats() or {}
