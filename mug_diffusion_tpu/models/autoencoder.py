@@ -44,7 +44,11 @@ class DiagonalGaussianDistribution:
             self.var = self.std = jnp.zeros_like(self.mean)
 
     def sample(self, rng):
-        x = self.mean + self.std * jax.random.normal(rng, self.mean.shape)
+        # noise in the posterior's own dtype: under the bf16 training policy
+        # an f32 draw would silently promote the latent (and the whole
+        # decoder compute) back to fp32
+        noise = jax.random.normal(rng, self.mean.shape, self.mean.dtype)
+        x = self.mean + self.std * noise
         return x * self.scale
 
     def kl(self, other=None):
@@ -166,6 +170,8 @@ class AutoencoderKL(nn.Module):
     remove_prefix: Optional[str] = None
     ignore_keys: Optional[tuple] = None
     training_keys: Optional[tuple] = None
+    # accepted for config parity; consumed by AutoencoderTask (bf16 policy)
+    compute_dtype: Optional[str] = None
 
     def setup(self):
         dd = dict(self.ddconfig)

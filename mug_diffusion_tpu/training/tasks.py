@@ -128,6 +128,8 @@ class AutoencoderTask:
     """
 
     def __init__(self, model_config: dict):
+        from mug_diffusion_tpu.utils.precision import resolve_dtype
+
         self.vae = instantiate_from_config(model_config)
         self.config = model_config
         params = model_config.get("params", {})
@@ -135,6 +137,12 @@ class AutoencoderTask:
         self.loss = instantiate_from_config(params["lossconfig"])
         self.monitor = params.get("monitor", "val/loss")
         self.training_keys = params.get("training_keys")
+        # mixed-precision training like DiffusionTask: fp32 masters, bf16
+        # fwd/bwd, fp32 loss/KL stats (true-fp32 matmuls measured 6x slower
+        # on v5e, docs/PERF.md)
+        self.compute_dtype = resolve_dtype(
+            params.get("compute_dtype", "bfloat16")
+        )
 
     def init_params(self, rng, batch_spec=None):
         spec = batch_spec or {}
@@ -147,16 +155,29 @@ class AutoencoderTask:
     def loss_fn(self, params, batch, rng, train=True, **kw):
         notes = batch["note"]
         valid_flag = batch["valid_flag"]
+        bf16 = self.compute_dtype == jnp.bfloat16
+        if bf16:
+            from mug_diffusion_tpu.utils.precision import cast_floating
+
+            apply_params = cast_floating(params)
+            notes_in = notes.astype(jnp.bfloat16)
+        else:
+            apply_params = params
+            notes_in = notes
         recon, posterior = self.vae.apply(
-            params, notes, rng, sample_posterior=train, deterministic=not train
+            apply_params, notes_in, rng,
+            sample_posterior=train, deterministic=not train,
         )
+        # loss + KL statistics in fp32 against the ORIGINAL fp32 targets
+        recon = recon.astype(jnp.float32)
         loss, log_dict = self.loss(notes, recon, valid_flag)
-        kl_loss = posterior.kl()
+        kl_loss = posterior.kl().astype(jnp.float32)
         loss = loss + kl_loss * self.kl_weight
         prefix = "train" if train else "val"
         log_dict["kl_loss"] = kl_loss
-        log_dict["z_std"] = jnp.std(posterior.mode())
-        log_dict["z_mean"] = posterior.mode().mean()
+        z_mode = posterior.mode().astype(jnp.float32)
+        log_dict["z_std"] = jnp.std(z_mode)
+        log_dict["z_mean"] = z_mode.mean()
         log_dict = {f"{prefix}/{k}": v for k, v in log_dict.items()}
         log_dict[f"{prefix}/loss"] = loss
         return loss, log_dict

@@ -158,7 +158,7 @@ def main():
     # though block_until_ready is not — docs/PERF.md)
     profile_dir = os.environ.get("BENCH_TRAIN_PROFILE")
     if profile_dir:
-        jax.profiler.start_trace(profile_dir)
+        jax.profiler.start_trace(profile_dir, create_perfetto_trace=True)
     t0 = time.time()
     for i in range(n):
         params, opt_state, loss = step(params, opt_state, batch,

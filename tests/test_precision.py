@@ -199,6 +199,67 @@ def test_bf16_training_tracks_fp32():
     assert rel < 0.1, (l32[-1], l16[-1])
 
 
+def test_bf16_vae_training_tracks_fp32():
+    """AutoencoderTask mixed precision: bf16 fwd/bwd, fp32 loss/KL; short
+    Adam runs must descend equivalently to fp32."""
+    import optax
+
+    from mug_diffusion_tpu.training.tasks import AutoencoderTask
+    from tests.test_pipeline import tiny_config
+
+    vae_cfg = dict(tiny_config()["model"]["params"]["first_stage_config"])
+    vae_cfg["params"] = dict(
+        vae_cfg["params"],
+        lossconfig={
+            "target": "mug_diffusion_tpu.models.losses.ManiaReconstructLoss",
+            "params": {},
+        },
+    )
+
+    note = np.zeros((2, 64, 16), np.float32)
+    note[:, ::8, 0] = 1.0
+    batch = {
+        "note": jnp.asarray(note),
+        "valid_flag": jnp.ones((2, 64), jnp.float32),
+    }
+
+    def run(compute_dtype, n_steps=15):
+        cfg = dict(vae_cfg)
+        cfg["params"] = dict(cfg["params"], compute_dtype=compute_dtype)
+        task = AutoencoderTask(cfg)
+        params = task.init_params(
+            jax.random.PRNGKey(3), {"batch": 2, "note_length": 64}
+        )
+        opt = optax.adam(2e-3)
+        state = opt.init(params)
+
+        @jax.jit
+        def step(params, state, rng):
+            def lw(p):
+                loss, _ = task.loss_fn(p, batch, rng, train=True)
+                return loss
+
+            loss, grads = jax.value_and_grad(lw)(params)
+            updates, state = opt.update(grads, state)
+            return optax.apply_updates(params, updates), state, loss, grads
+
+        losses = []
+        for i in range(n_steps):
+            params, state, loss, grads = step(
+                params, state, jax.random.PRNGKey(50 + i)
+            )
+            losses.append(float(loss))
+        return losses, grads
+
+    l32, _ = run("float32")
+    l16, g16 = run("bfloat16")
+    for leaf in jax.tree_util.tree_leaves(g16):
+        assert leaf.dtype == jnp.float32
+    assert l32[-1] < l32[0] and l16[-1] < l16[0]
+    rel = abs(l16[-1] - l32[-1]) / max(abs(l32[-1]), 1e-6)
+    assert rel < 0.1, (l32[-1], l16[-1])
+
+
 def test_dynamic_steps_fused_matches_static_fused():
     """The traced-steps executable (steps passed at call time, schedule
     re-derived in-graph) must reproduce the static-steps executable (tables
