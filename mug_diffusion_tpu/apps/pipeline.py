@@ -298,27 +298,53 @@ class GenerationPipeline:
         )
         return np.asarray(decoded[:count]).transpose(0, 2, 1), z_length
 
-    def warmup(self, buckets=None, counts=(4,), steps: int = 100,
-               scale: float = 5.0):
-        """Precompile the FUSED serving executable for each (length bucket,
-        count bucket) — the path sample_charts actually dispatches — so
-        first requests hit the in-memory + persistent compile cache. Steps,
-        eta and guidance scale are traced arguments: one warm per structure
-        covers the ENTIRE slider surface (steps 10-200, CFG 1-30). With a
-        mesh, counts are padded to a mesh-divisible bucket so the warmed
-        executable is the sharded one actually served."""
+    def warmup(self, buckets=None, counts=None, steps: int = 100,
+               scale: float = 5.0, include_uncond: bool = True,
+               include_mask: bool = False):
+        """Precompile the FUSED serving executables — the path
+        sample_charts actually dispatches — so first requests hit the
+        in-memory + persistent compile cache. Steps, eta and guidance scale
+        are traced arguments, so the compile surface is (length bucket) x
+        (count bucket) x (CFG structure): the DEFAULTS warm every count
+        bucket and both CFG structures (scale==1.0 builds a different
+        graph), making the whole webui slider surface — steps 10-200, CFG
+        1-30, count 1-16 — genuinely compile-free afterwards. Pass explicit
+        ``counts``/``include_uncond=False`` to warm less (each structure
+        costs a cold compile), or ``include_mask=True`` to also warm the
+        fused inpainting structure. With a mesh, counts pad to a
+        mesh-divisible bucket so the warmed executable is the sharded one
+        actually served."""
         buckets = buckets or self.z_length_buckets
+        counts = counts or self.count_buckets
         ratio = self.max_audio_frame // self.model.z_length
         for z_length in buckets:
             mel = jnp.zeros((self.n_mels, z_length * ratio), jnp.float32)
+            warmed = set()
             for count in counts:
                 n = self._count_bucket(count)
-                feature = self.encode_prompt({}, n)
-                out = self._fused(n, z_length)(
-                    self.params, mel, feature, feature,
-                    jax.random.PRNGKey(0), scale, steps, 0.0,
-                )
-                np.asarray(out)  # force compile + execute
+                structures = [(True, False)]
+                if include_uncond:
+                    structures.append((False, False))
+                if include_mask:
+                    structures.append((True, True))
+                for use_cfg, use_mask in structures:
+                    if (n, use_cfg, use_mask) in warmed:
+                        continue
+                    warmed.add((n, use_cfg, use_mask))
+                    feature = self.encode_prompt({}, n)
+                    call_scale = scale if use_cfg else 1.0
+                    extra = ()
+                    if use_mask:
+                        size = (n, z_length, self.model.z_channels)
+                        extra = (jnp.zeros(size), jnp.zeros(size))
+                    out = self._fused(
+                        n, z_length, use_cfg=use_cfg, use_mask=use_mask,
+                    )(
+                        self.params, mel, feature, feature,
+                        jax.random.PRNGKey(0), call_scale, steps, 0.0,
+                        *extra,
+                    )
+                    np.asarray(out)  # force compile + execute
 
     def sample_charts_batched(
         self,

@@ -418,6 +418,10 @@ class Loader:
         return max(self.batch_size,
                    self.batch_size * (ref // max(note_frames, 1)))
 
+    def __bool__(self):
+        # __len__ raises under bucketed iteration; keep `if loader:` working
+        return True
+
     def __len__(self):
         if getattr(self.dataset, "length_buckets", None):
             # batch count depends on the realized bucket distribution

@@ -54,13 +54,20 @@ class DiagonalGaussianDistribution:
     def kl(self, other=None):
         if self.deterministic:
             return jnp.array(0.0)
+        # reduce in fp32: under the bf16 training policy the moments are
+        # bf16, and a bf16 mean over the whole latent (~3 significant
+        # digits) would feed a gradient-carrying loss term
+        mean = self.mean.astype(jnp.float32)
+        var = self.var.astype(jnp.float32)
+        logvar = self.logvar.astype(jnp.float32)
         if other is None:
-            return 0.5 * jnp.mean(
-                jnp.square(self.mean) + self.var - 1.0 - self.logvar
-            )
+            return 0.5 * jnp.mean(jnp.square(mean) + var - 1.0 - logvar)
+        o_mean = other.mean.astype(jnp.float32)
+        o_var = other.var.astype(jnp.float32)
+        o_logvar = other.logvar.astype(jnp.float32)
         return 0.5 * jnp.mean(
-            jnp.square(self.mean - other.mean) / other.var
-            + self.var / other.var - 1.0 - self.logvar + other.logvar
+            jnp.square(mean - o_mean) / o_var
+            + var / o_var - 1.0 - logvar + o_logvar
         )
 
     def mode(self):

@@ -116,11 +116,16 @@ class BeatmapLogger:
         from collections import defaultdict
 
         def stats(osu_path):
-            hit_objects, _ = convertor.parse_osu_file(osu_path, None)
+            hit_objects, meta = convertor.parse_osu_file(osu_path, None)
+            # column width from the chart's own key count (CircleSize);
+            # 4K default if absent
+            width = 512.0 / (int(meta.cs) if meta.cs else 4)
             per_col = defaultdict(list)
             for line in hit_objects:
                 p = line.split(",")
-                per_col[int(int(float(p[0])) / 128)].append(int(float(p[2])))
+                per_col[int(int(float(p[0])) / width)].append(
+                    int(float(p[2]))
+                )
             jacks = 0
             for starts in per_col.values():
                 starts.sort()

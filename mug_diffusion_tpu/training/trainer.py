@@ -384,7 +384,26 @@ class Trainer:
 
     def validate(self, val_loader, epoch: int):
         all_metrics: Dict[str, list] = {}
+        n_dev = int(np.prod(self.mesh.devices.shape))
         for batch_idx, batch in enumerate(val_loader):
+            # TRIM uneven val batches to a mesh multiple instead of
+            # cycle-padding: duplicated samples would bias the val means
+            # that drive top-k checkpoint ranking and plateau LR drops.
+            # The trim is the same every epoch (val loaders don't shuffle),
+            # so rankings stay comparable; a batch smaller than the mesh is
+            # skipped entirely.
+            b = next(
+                (v.shape[0] for v in batch.values()
+                 if isinstance(v, np.ndarray)), 0,
+            )
+            keep = (b // n_dev) * n_dev
+            if keep == 0:
+                continue
+            if keep < b:
+                batch = {
+                    k: (v[:keep] if isinstance(v, np.ndarray) else v)
+                    for k, v in batch.items()
+                }
             dev_batch = self._device_batch(batch)
             # deterministic per-batch seed (ref: diffusion.py:434-436).
             # Derived from the trainer seed + batch index — stable across

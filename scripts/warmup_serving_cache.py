@@ -28,10 +28,13 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--buckets", type=str, default="128,192,256,320,384,448,"
                    "512,640,768,1024")
-    p.add_argument("--counts", type=str, default="4",
-                   help="count buckets to warm, e.g. 4,8,16")
+    p.add_argument("--counts", type=str, default="1,2,4,8,16",
+                   help="count buckets to warm (webui slider 1-16 pads to "
+                        "these)")
     p.add_argument("--scale", type=float, default=5.0,
                    help="traced; any value works for warming the CFG graph")
+    p.add_argument("--skip-uncond", action="store_true",
+                   help="skip the scale==1.0 (no-CFG) graph structure")
     p.add_argument("--tiny", action="store_true")
     opt = p.parse_args()
 
@@ -53,16 +56,19 @@ def main():
         wave = jnp.zeros((z_length * 64 * 128,), jnp.float32)
         for count in (int(c) for c in opt.counts.split(",")):
             feature = jnp.zeros((count, 21), jnp.int32)
-            fused = build_fused_generate(
-                ddpm, steps=None, scale=opt.scale, count=count,
-                z_length=z_length,
-            )
-            t0 = time.time()
-            np.asarray(fused(params, wave, feature, feature,
-                             jax.random.PRNGKey(0), opt.scale, 100, 0.0))
-            timings[f"{z_length}x{count}"] = round(time.time() - t0, 1)
-            print(f"bucket {z_length} count {count}: "
-                  f"{timings[f'{z_length}x{count}']} s")
+            scales = [opt.scale] if opt.skip_uncond else [opt.scale, 1.0]
+            for s in scales:  # scale==1.0 is a distinct (no-CFG) graph
+                fused = build_fused_generate(
+                    ddpm, steps=None, scale=s, count=count,
+                    z_length=z_length,
+                )
+                t0 = time.time()
+                np.asarray(fused(params, wave, feature, feature,
+                                 jax.random.PRNGKey(0), s, 100, 0.0))
+                key = f"{z_length}x{count}@cfg={s != 1.0}"
+                timings[key] = round(time.time() - t0, 1)
+                print(f"bucket {z_length} count {count} cfg={s != 1.0}: "
+                      f"{timings[key]} s")
     print(json.dumps({"warmup_seconds_per_bucket": timings}))
 
 
