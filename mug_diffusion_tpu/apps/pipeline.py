@@ -327,6 +327,9 @@ class GenerationPipeline:
                     structures.append((False, False))
                 if include_mask:
                     structures.append((True, True))
+                    if include_uncond:
+                        # scale==1.0 inpainting is its own graph too
+                        structures.append((False, True))
                 for use_cfg, use_mask in structures:
                     if (n, use_cfg, use_mask) in warmed:
                         continue

@@ -55,8 +55,11 @@ class DataModuleFromConfig:
         )
 
     def val_dataloader(self) -> Loader:
+        # constant batch size for validation: Trainer.validate averages
+        # per-batch means, so bucket-scaled (unequal) batches would weight
+        # short-chart items ~batch_scale times less in the val monitor
         return Loader(
             self.datasets["validation"], self.batch_size, shuffle=False,
             num_workers=self.num_workers, drop_last=False,
-            scale_batch_by_bucket=self.scale_batch_by_bucket,
+            scale_batch_by_bucket=False,
         )

@@ -453,7 +453,10 @@ class Trainer:
             return injected
         lr_fn = getattr(self.task, "lr_fn", None)
         if lr_fn is not None:
-            return float(lr_fn(self.global_step // self.accumulate))
+            # global_step is already incremented when logging fires; the
+            # update just executed used optax's pre-update count
+            step = max(self.global_step - 1, 0)
+            return float(lr_fn(step // self.accumulate))
         return float(self.learning_rate)
 
     def _maybe_reduce_lr_on_plateau(self, monitor_val):

@@ -44,6 +44,17 @@ def aggregate(log_dir: str, top: int = 40):
         if e.get("ph") == "M" and e.get("name") == "thread_name":
             tid_name[(e["pid"], e["tid"])] = e["args"].get("name", "")
 
+    # restrict to the per-op lane: the 'XLA Modules' lane is one span per
+    # executable covering the whole step, so summing it alongside 'XLA Ops'
+    # would double the device total and halve every op's percentage
+    tpu_threads = {
+        k for k, v in tid_name.items()
+        if "tpu" in pid_name.get(k[0], "").lower()
+    }
+    ops_threads = {
+        k for k in tpu_threads if "xla ops" in tid_name[k].lower()
+    }
+
     by_name = defaultdict(float)
     total = 0.0
     for e in events:
@@ -53,7 +64,10 @@ def aggregate(log_dir: str, top: int = 40):
         tname = tid_name.get((e["pid"], e.get("tid")), "")
         if "TPU" not in pname and "tpu" not in pname.lower():
             continue
-        if "step" in tname.lower():
+        if ops_threads:
+            if (e["pid"], e.get("tid")) not in ops_threads:
+                continue
+        elif "step" in tname.lower() or "module" in tname.lower():
             continue
         dur = e.get("dur", 0) / 1e6
         by_name[e.get("name", "?")] += dur

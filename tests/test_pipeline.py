@@ -233,6 +233,16 @@ def test_warmup_compiles_fused_executables(pipeline):
     assert key in pipeline._fused_cache
 
 
+def test_warmup_mask_covers_uncond_inpainting(pipeline):
+    """include_mask warms BOTH inpainting structures — a masked request at
+    the slider-minimum scale 1.0 (use_cfg=False) must not compile cold."""
+    pipeline._fused_cache.clear()
+    pipeline.warmup(buckets=[8], counts=(2,), steps=2, scale=3.0,
+                    include_mask=True)
+    assert (2, 8, True, True, "mel", False) in pipeline._fused_cache
+    assert (2, 8, False, True, "mel", False) in pipeline._fused_cache
+
+
 def test_slider_surface_zero_recompiles(pipeline, wav_path):
     """The whole webui slider surface — steps, guidance scale, eta, count —
     must be served by a BOUNDED set of compiled executables: sweeping

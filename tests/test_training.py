@@ -323,3 +323,24 @@ def test_beatmap_logger_quality_metrics(tmp_path):
     assert m["quality/ref_jacks"] == 0
     assert m["quality/ref_notes"] == 10
     assert abs(m["quality/gen_jack_rate_per_1k"] - 4000 / 6) < 1e-6
+
+
+def test_val_loader_ignores_bucket_batch_scaling(data_root, tmp_path):
+    """Validation batches stay at the base batch size even when training
+    uses token-budget bucket scaling: Trainer.validate averages per-batch
+    means, so unequal val batches would underweight short-chart items in
+    the monitor driving top-k checkpoints and plateau LR drops."""
+    from mug_diffusion_tpu.training.datamodule import DataModuleFromConfig
+
+    root, txt = data_root
+    dm = DataModuleFromConfig(
+        batch_size=2,
+        common_params=_dataset_kwargs(txt, str(tmp_path / "cache_vb")),
+        train=dict(target="mug_diffusion_tpu.data.dataset.OsuTrainDataset",
+                   params={}),
+        validation=dict(target="mug_diffusion_tpu.data.dataset.OsuValidDataset",
+                        params={}),
+        scale_batch_by_bucket=True,
+    ).setup()
+    assert dm.train_dataloader().scale_batch_by_bucket is True
+    assert dm.val_dataloader().scale_batch_by_bucket is False
