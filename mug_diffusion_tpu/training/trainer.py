@@ -382,6 +382,19 @@ class Trainer:
         finally:
             signal.signal(signal.SIGUSR1, old_handler)
 
+    @staticmethod
+    def _weighted_means(all_metrics: Dict[str, list]) -> dict:
+        """Batch-size-weighted means of per-batch mean metrics: the trimmed
+        final val batch can be smaller, and each ITEM (not each batch)
+        should count equally in the monitor driving top-k checkpoints and
+        plateau LR drops. Each key carries its own (value, weight) pairs
+        because stratified keys only appear on a subset of batches."""
+        return {
+            k: float(np.average([v for v, _ in pairs],
+                                weights=[w for _, w in pairs]))
+            for k, pairs in all_metrics.items()
+        }
+
     def validate(self, val_loader, epoch: int):
         all_metrics: Dict[str, list] = {}
         n_dev = int(np.prod(self.mesh.devices.shape))
@@ -414,13 +427,13 @@ class Trainer:
             )
             metrics = jax.device_get(metrics)
             for k, v in metrics.items():
-                all_metrics.setdefault(k, []).append(float(v))
+                all_metrics.setdefault(k, []).append((float(v), keep))
             for cb in self.callbacks:
                 if hasattr(cb, "on_validation_batch_end"):
                     cb.on_validation_batch_end(
                         self, batch, batch_idx, split="val"
                     )
-        means = {k: float(np.mean(v)) for k, v in all_metrics.items()}
+        means = self._weighted_means(all_metrics)
         means["epoch"] = epoch
         self.logger.log(means, self.global_step)
         if self.wandb_run is not None:

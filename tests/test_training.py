@@ -212,6 +212,19 @@ def test_trainer_fit_smoke(data_root, tmp_path):
     )
     assert "params" in restored and restored["step"] == 2
 
+    # the tiny fixture's val split is smaller than the 2-device mesh, so
+    # every val batch trims to zero: validate returns None by design
+    assert trainer.validate(dm.val_dataloader(), epoch=0) is None
+
+    # drive a full validation pass with mesh-sized batches (fit with
+    # max_steps=2 returns before the epoch-end validation): stratified
+    # metrics land in the logger, item-weighted across batches
+    monitor = trainer.validate(dm.train_dataloader(), epoch=0)
+    assert monitor is not None and np.isfinite(monitor)
+    with open(os.path.join(str(tmp_path / "logs"), "metrics.csv")) as f:
+        header = f.readline()
+    assert "val/loss" in header or "val/loss_simple" in header
+
 
 def test_vae_trainer_fit_smoke(data_root, tmp_path):
     """Two VAE (first-stage) training steps: AutoencoderTask + Adam with
@@ -344,3 +357,18 @@ def test_val_loader_ignores_bucket_batch_scaling(data_root, tmp_path):
     ).setup()
     assert dm.train_dataloader().scale_batch_by_bucket is True
     assert dm.val_dataloader().scale_batch_by_bucket is False
+
+
+def test_validate_weights_metrics_by_batch_size():
+    """Per-batch means are combined item-weighted: a trimmed final batch of
+    2 items must not count as much as a full batch of 8."""
+    from mug_diffusion_tpu.training.trainer import Trainer
+
+    means = Trainer._weighted_means(
+        {"val/loss": [(1.0, 8), (2.0, 2)],
+         # stratified keys only show up on a subset of batches — they must
+         # average over their own weights, not the global batch list
+         "val/loss_q3": [(5.0, 2)]},
+    )
+    assert abs(means["val/loss"] - (8 * 1.0 + 2 * 2.0) / 10) < 1e-12
+    assert means["val/loss_q3"] == 5.0
