@@ -17,10 +17,11 @@ Tensor layout: examples are channels-last — note [T, 4K], audio [Tmel, 128]
 from __future__ import annotations
 
 import hashlib
+import multiprocessing
 import os
 import random
 import sqlite3
-from concurrent.futures import ThreadPoolExecutor
+from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor
 from typing import Iterator, List
 
 import numpy as np
@@ -390,13 +391,43 @@ def collate(examples: List[dict]) -> dict:
     return batch
 
 
+_WORKER_DS = None
+
+
+def _init_loader_worker(dataset, seed):
+    """Process-pool initializer: stash the (picklable) dataset once per
+    worker and give each worker its own augmentation RNG stream — the
+    dataset's augments draw from the global np.random/random state, which
+    spawn would otherwise leave OS-seeded but identical error-resample
+    behavior is still per-worker."""
+    global _WORKER_DS
+    _WORKER_DS = dataset
+    s = (seed + os.getpid()) % (2 ** 32)
+    np.random.seed(s)
+    random.seed(s)
+
+
+def _worker_getitem(i):
+    return _WORKER_DS[i]
+
+
 class Loader:
-    """Thread-pool prefetch loader (replaces torch DataLoader workers,
-    ref config num_workers: 7)."""
+    """Prefetch loader (replaces torch DataLoader workers, ref config
+    num_workers: 7).
+
+    ``worker_type="thread"`` (default) suits hosts where item work is
+    dominated by GIL-releasing numpy/ffmpeg (and the 1-core axon host,
+    where processes can't add parallelism anyway). ``"process"`` matches
+    the reference's 7 worker *processes* for multi-core production hosts
+    where the cold path (parse + mel) is GIL-bound Python: a spawn-context
+    pool (fork would clone live TPU-runtime threads) rebuilt per epoch —
+    worker startup (~1-2 s each, once per epoch) amortizes over any real
+    epoch length."""
 
     def __init__(self, dataset: OsuDataset, batch_size: int, shuffle: bool,
                  num_workers: int = 7, seed: int = 0, drop_last: bool = True,
-                 scale_batch_by_bucket: bool = False):
+                 scale_batch_by_bucket: bool = False,
+                 worker_type: str = "thread"):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -409,6 +440,22 @@ class Loader:
         # per-step overheads — MFU 0.13 at z=128 vs 0.25 at z=512 with a
         # constant batch, docs/PERF.md)
         self.scale_batch_by_bucket = scale_batch_by_bucket
+        if worker_type not in ("thread", "process"):
+            raise ValueError(f"worker_type must be thread|process, "
+                             f"got {worker_type!r}")
+        self.worker_type = worker_type
+
+    def _pool_and_fetch(self):
+        """Executor + per-item fetch callable for this epoch's iteration."""
+        if self.worker_type == "process":
+            pool = ProcessPoolExecutor(
+                self.num_workers,
+                mp_context=multiprocessing.get_context("spawn"),
+                initializer=_init_loader_worker,
+                initargs=(self.dataset, self.seed + self.epoch),
+            )
+            return pool, _worker_getitem
+        return ThreadPoolExecutor(self.num_workers), self.dataset.__getitem__
 
     def _bucket_batch(self, note_frames: int) -> int:
         buckets = getattr(self.dataset, "length_buckets", None)
@@ -453,12 +500,13 @@ class Loader:
                     return
                 yield idx
 
-        with ThreadPoolExecutor(self.num_workers) as pool:
+        pool, fetch = self._pool_and_fetch()
+        with pool:
             pending = []
             it = chunks()
             # prefetch depth = num_workers
             for idx in it:
-                pending.append(pool.map(self.dataset.__getitem__, idx))
+                pending.append(pool.map(fetch, idx))
                 if len(pending) >= 2:
                     yield collate(list(pending.pop(0)))
             for p in pending:
@@ -482,7 +530,8 @@ class Loader:
                 return collate(pools.pop(b))
             return None
 
-        with ThreadPoolExecutor(self.num_workers) as pool:
+        pool, fetch = self._pool_and_fetch()
+        with pool:
             # strict in-flight bound: block on the oldest future once the
             # window fills (completed results hold ~MBs of mel each; token-
             # budget batches hold more items of proportionally smaller mels)
@@ -495,7 +544,7 @@ class Loader:
                 )
             futures: deque = deque()
             for i in order:
-                futures.append(pool.submit(self.dataset.__getitem__, int(i)))
+                futures.append(pool.submit(fetch, int(i)))
                 while len(futures) >= window or (
                     futures and futures[0].done()
                 ):

@@ -23,10 +23,14 @@ class DataModuleFromConfig:
         wrap=False,
         num_workers: Optional[int] = None,
         scale_batch_by_bucket: bool = False,
+        worker_type: str = "thread",
     ):
         self.batch_size = batch_size
         self.num_workers = num_workers if num_workers is not None else 2
         self.scale_batch_by_bucket = scale_batch_by_bucket
+        # "process" = the reference's worker-process loaders (main.py:163-246
+        # num_workers) for multi-core hosts; see data/dataset.py Loader
+        self.worker_type = worker_type
         self.common_params = dict(common_params or {})
         self.dataset_configs = {}
         if train is not None:
@@ -52,6 +56,7 @@ class DataModuleFromConfig:
             self.datasets["train"], self.batch_size, shuffle=True,
             num_workers=self.num_workers,
             scale_batch_by_bucket=self.scale_batch_by_bucket,
+            worker_type=self.worker_type,
         )
 
     def val_dataloader(self) -> Loader:
@@ -62,4 +67,5 @@ class DataModuleFromConfig:
             self.datasets["validation"], self.batch_size, shuffle=False,
             num_workers=self.num_workers, drop_last=False,
             scale_batch_by_bucket=False,
+            worker_type=self.worker_type,
         )

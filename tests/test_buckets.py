@@ -232,3 +232,29 @@ def test_grad_accumulation_across_bucket_shapes():
     assert max_delta(snapshot(params), before) == 0
     params, opt_state = step(params, opt_state, batch(128))  # apply
     assert max_delta(snapshot(params), before) > 0
+
+
+def test_process_worker_loader_matches_thread_loader(bucket_dataset):
+    """worker_type="process" (the reference's worker-process loaders,
+    ref main.py:163-246 num_workers) must yield the same batch structure
+    as the thread loader: same item count, same homogeneous bucket
+    shapes, tensors + meta/convertor surviving the pickle round-trip."""
+    ds = bucket_dataset()
+    kw = dict(batch_size=3, shuffle=False, num_workers=2, drop_last=True)
+    thread_batches = list(Loader(ds, worker_type="thread", **kw))
+    proc_batches = list(Loader(ds, worker_type="process", **kw))
+    assert len(proc_batches) == len(thread_batches) == 2
+    for tb, pb in zip(thread_batches, proc_batches):
+        assert pb["note"].shape == tb["note"].shape
+        assert pb["audio"].shape == tb["audio"].shape
+        assert pb["note"].dtype == tb["note"].dtype
+        # augments are off in this fixture, so content matches exactly
+        np.testing.assert_array_equal(pb["note"], tb["note"])
+        assert len(pb["meta"]) == tb["note"].shape[0]
+        assert all("frame_ms" in c for c in pb["convertor"])
+
+
+def test_loader_rejects_unknown_worker_type(bucket_dataset):
+    with pytest.raises(ValueError):
+        Loader(bucket_dataset(), batch_size=2, shuffle=False,
+               worker_type="greenlet")
