@@ -1,0 +1,171 @@
+"""Worker + shared helpers for the real multi-process data-parallel test.
+
+Launched twice by tests/test_multiprocess.py (``python tests/mp_worker.py
+<process_id> <port> <outdir>``): each process owns 2 CPU devices, the two
+form one 4-device global mesh over JAX's distributed runtime (gloo CPU
+collectives), and each feeds only its HALF of the global batch through
+``shard_batch`` — exercising the ``jax.make_array_from_process_local_data``
+branch that single-process tests can't reach (the JAX equivalent of the
+reference's per-rank DDP DataLoader shards, ref main.py:536-537).
+
+Process 0 writes the updated U-Net parameter leaves to ``<outdir>/w.npz``;
+the pytest driver compares them against a single-device full-batch step.
+"""
+
+import os
+import sys
+
+# conftest doesn't run here: compile at -O0 and share the test compile
+# cache; drop any inherited virtual-device-count flag (the worker's device
+# count comes from jax_num_cpu_devices below)
+_flags = [
+    f for f in os.environ.get("XLA_FLAGS", "").split()
+    if "xla_force_host_platform_device_count" not in f
+]
+if not any("xla_backend_optimization_level" in f for f in _flags):
+    _flags.append("--xla_backend_optimization_level=0")
+os.environ["XLA_FLAGS"] = " ".join(_flags)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_test_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".."))
+
+GLOBAL_BATCH = 8
+Z_LEN = 16
+
+
+def _configure_cpu(n_local_devices: int):
+    import jax
+
+    # sitecustomize registers the remote-TPU plugin before argv scripts
+    # run, so the env var is too late — jax.config still works (backends
+    # are lazy)
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    jax.config.update("jax_num_cpu_devices", n_local_devices)
+    jax.config.update("jax_default_matmul_precision", "highest")
+    return jax
+
+
+def make_model_and_step():
+    """Tiny fp32 DDPM + masked-AdamW jitted DP train step (fixed rngs, so
+    every process — and the single-device reference — computes the same
+    math; jax_threefry_partitionable keeps sharded noise draws identical
+    to unsharded ones)."""
+    import jax
+    import optax
+
+    from __graft_entry__ import _model_config
+    from mug_diffusion_tpu.utils.checkpoint import trainable_mask
+    from mug_diffusion_tpu.utils.config import instantiate_from_config
+
+    cfg = _model_config(tiny=True)
+    cfg["params"]["compute_dtype"] = "float32"
+    ddpm = instantiate_from_config(cfg)
+    variables = ddpm.init_params(
+        jax.random.PRNGKey(0),
+        {"batch": 1, "z_length": Z_LEN, "mel_length": Z_LEN * 4,
+         "n_mels": 16},
+    )
+    mask = {
+        "params": trainable_mask(
+            variables["params"], frozen_prefixes=("first_stage_model",)
+        )
+    }
+    optimizer = optax.chain(
+        optax.adamw(1e-2),
+        optax.masked(optax.set_to_zero(),
+                     jax.tree_util.tree_map(lambda t: not t, mask)),
+    )
+    opt_state = optimizer.init(variables)
+
+    @jax.jit
+    def step(params, opt_state, batch):
+        def loss_fn(p):
+            loss, _ = ddpm.loss_fn(
+                p, batch, jax.random.PRNGKey(42), train=True
+            )
+            return loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    return variables, opt_state, step
+
+
+def make_global_batch():
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    note_len, mel_len = Z_LEN * 8, Z_LEN * 4
+    return {
+        "note": (rng.random((GLOBAL_BATCH, note_len, 16)) > 0.9).astype(
+            np.float32),
+        "audio": 0.1 * rng.standard_normal(
+            (GLOBAL_BATCH, mel_len, 16)).astype(np.float32),
+        "feature": np.zeros((GLOBAL_BATCH, 21), np.int32),
+        "valid_flag": np.ones((GLOBAL_BATCH, note_len), np.float32),
+    }
+
+
+def main(process_id: int, port: int, outdir: str):
+    jax = _configure_cpu(n_local_devices=2)
+    jax.distributed.initialize(
+        coordinator_address=f"localhost:{port}",
+        num_processes=2,
+        process_id=process_id,
+    )
+    assert jax.process_count() == 2, jax.process_count()
+    assert len(jax.devices()) == 4 and len(jax.local_devices()) == 2
+
+    import numpy as np
+
+    from mug_diffusion_tpu.parallel.mesh import (
+        create_mesh, replicated_sharding, shard_batch,
+    )
+
+    mesh = create_mesh()  # all 4 global devices on the data axis
+    # global device order groups by process: this process's rows are the
+    # contiguous half make_array_from_process_local_data expects
+    assert [d.process_index for d in mesh.devices.flat] == [0, 0, 1, 1]
+
+    params, opt_state, step = make_model_and_step()
+    # multi-process jit needs GLOBAL arrays: promote the (identical,
+    # deterministically seeded) per-process params/opt_state to replicated
+    # arrays over the global mesh
+    rep = replicated_sharding(mesh)
+
+    def replicate(tree):
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(np.asarray(x), rep), tree
+        )
+
+    params, opt_state = replicate(params), replicate(opt_state)
+    batch = make_global_batch()
+    half = GLOBAL_BATCH // 2
+    local = {
+        k: v[process_id * half:(process_id + 1) * half]
+        for k, v in batch.items()
+    }
+    dev_batch = shard_batch(local, mesh)  # process-local data branch
+    params, opt_state, loss = step(params, opt_state, dev_batch)
+    loss = float(np.asarray(loss))
+    assert np.isfinite(loss)
+
+    if process_id == 0:
+        leaves = jax.tree_util.tree_leaves_with_path(
+            params["params"]["unet_model"]
+        )
+        np.savez(
+            os.path.join(outdir, "w.npz"),
+            loss=loss,
+            **{jax.tree_util.keystr(p): np.asarray(v) for p, v in leaves},
+        )
+    print(f"mp_worker {process_id}: OK loss={loss:.6f}", flush=True)
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]), int(sys.argv[2]), sys.argv[3])

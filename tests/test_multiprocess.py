@@ -1,0 +1,81 @@
+"""REAL multi-process data parallelism (the reference's DDP, ref
+main.py:536-537 / Lightning ``accelerator: dp``): two OS processes, each
+owning 2 CPU devices, form one 4-device mesh through
+``jax.distributed.initialize`` + gloo CPU collectives. Each process feeds
+only its half of the global batch via ``shard_batch`` — the
+``jax.make_array_from_process_local_data`` branch — and the updated
+parameters must equal a single-device step over the full batch.
+
+Single-process tests (test_parallel.py) validate the same math on a
+virtual mesh; this is the one test where process_count really is > 1, so
+the per-rank host data loading path and cross-process collectives are
+exercised for real.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import mp_worker  # noqa: E402  (tests/ is on sys.path under pytest)
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_dp_matches_single_device(tmp_path):
+    worker = os.path.join(os.path.dirname(__file__), "mp_worker.py")
+    port = _free_port()
+    env = dict(os.environ)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(i), str(port), str(tmp_path)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for i in (0, 1)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=900)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {i} failed:\n{out[-4000:]}"
+        assert f"mp_worker {i}: OK" in out
+
+    got = np.load(tmp_path / "w.npz")
+
+    # single-device full-batch reference, same deterministic init/batch/rngs
+    import jax
+
+    params, opt_state, step = mp_worker.make_model_and_step()
+    batch = mp_worker.make_global_batch()
+    params, opt_state, loss = step(params, opt_state, batch)
+    assert np.allclose(float(got["loss"]), float(np.asarray(loss)),
+                       atol=1e-5)
+    leaves = jax.tree_util.tree_leaves_with_path(
+        params["params"]["unet_model"]
+    )
+    assert leaves
+    for path, ref in leaves:
+        key = jax.tree_util.keystr(path)
+        np.testing.assert_allclose(
+            got[key], np.asarray(ref), atol=2e-5, rtol=1e-4,
+            err_msg=f"leaf {key} diverged between 2-process DP and "
+                    f"single-device",
+        )
