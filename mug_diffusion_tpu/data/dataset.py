@@ -427,7 +427,8 @@ class Loader:
     def __init__(self, dataset: OsuDataset, batch_size: int, shuffle: bool,
                  num_workers: int = 7, seed: int = 0, drop_last: bool = True,
                  scale_batch_by_bucket: bool = False,
-                 worker_type: str = "thread"):
+                 worker_type: str = "thread",
+                 num_shards: int = 1, shard_index: int = 0):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -435,6 +436,27 @@ class Loader:
         self.seed = seed
         self.epoch = 0
         self.drop_last = drop_last
+        # per-rank dataset sharding under multi-process SPMD (the
+        # reference's DistributedSampler under DDP, main.py:536-537): each
+        # process sees a disjoint stride of the same epoch-seeded
+        # permutation, truncated so every rank yields the SAME number of
+        # items — unequal counts would deadlock the cross-process
+        # collectives inside the jitted step. batch_size stays per-process
+        # (global batch = batch_size * num_shards), matching the ref's
+        # per-GPU batch under DDP and the trainer's n_devices LR scaling.
+        if not (0 <= shard_index < num_shards):
+            raise ValueError(f"shard_index {shard_index} not in "
+                             f"[0, {num_shards})")
+        if num_shards > 1 and getattr(dataset, "length_buckets", None):
+            # bucketed batch composition diverges per shard (different
+            # bucket mixes -> different batch counts -> collective
+            # deadlock); rank-synchronized bucketing is future work
+            raise NotImplementedError(
+                "length_buckets + multi-process sharding need rank-"
+                "synchronized bucket batches; shard without buckets"
+            )
+        self.num_shards = num_shards
+        self.shard_index = shard_index
         # equal-token-budget batching: a bucket at half the max length gets
         # twice the batch (short buckets otherwise waste MXU on fixed
         # per-step overheads — MFU 0.13 at z=128 vs 0.25 at z=512 with a
@@ -469,6 +491,12 @@ class Loader:
         # __len__ raises under bucketed iteration; keep `if loader:` working
         return True
 
+    def _shard_len(self) -> int:
+        n = len(self.dataset)
+        if self.num_shards > 1:
+            n = n // self.num_shards  # equal per-rank truncation
+        return n
+
     def __len__(self):
         if getattr(self.dataset, "length_buckets", None):
             # batch count depends on the realized bucket distribution
@@ -477,8 +505,8 @@ class Loader:
             raise TypeError(
                 "Loader length is data-dependent under bucketed iteration"
             )
-        n = len(self.dataset) // self.batch_size
-        if not self.drop_last and len(self.dataset) % self.batch_size:
+        n = self._shard_len() // self.batch_size
+        if not self.drop_last and self._shard_len() % self.batch_size:
             n += 1
         return n
 
@@ -488,6 +516,11 @@ class Loader:
             rng = np.random.default_rng(self.seed + self.epoch)
             rng.shuffle(order)
         self.epoch += 1
+        if self.num_shards > 1:
+            # same permutation on every rank (seed + epoch), disjoint
+            # strides, truncated to equal length
+            order = order[: self._shard_len() * self.num_shards]
+            order = order[self.shard_index :: self.num_shards]
 
         if getattr(self.dataset, "length_buckets", None):
             yield from self._iter_bucketed(order)

@@ -31,6 +31,15 @@ class DataModuleFromConfig:
         # "process" = the reference's worker-process loaders (main.py:163-246
         # num_workers) for multi-core hosts; see data/dataset.py Loader
         self.worker_type = worker_type
+
+    @staticmethod
+    def _process_shard():
+        """Per-rank loader shard under multi-process SPMD (the reference's
+        DistributedSampler under DDP): (num_shards, shard_index) from the
+        JAX runtime, (1, 0) single-process."""
+        import jax
+
+        return jax.process_count(), jax.process_index()
         self.common_params = dict(common_params or {})
         self.dataset_configs = {}
         if train is not None:
@@ -52,20 +61,24 @@ class DataModuleFromConfig:
         return self
 
     def train_dataloader(self) -> Loader:
+        num_shards, shard_index = self._process_shard()
         return Loader(
             self.datasets["train"], self.batch_size, shuffle=True,
             num_workers=self.num_workers,
             scale_batch_by_bucket=self.scale_batch_by_bucket,
             worker_type=self.worker_type,
+            num_shards=num_shards, shard_index=shard_index,
         )
 
     def val_dataloader(self) -> Loader:
         # constant batch size for validation: Trainer.validate averages
         # per-batch means, so bucket-scaled (unequal) batches would weight
         # short-chart items ~batch_scale times less in the val monitor
+        num_shards, shard_index = self._process_shard()
         return Loader(
             self.datasets["validation"], self.batch_size, shuffle=False,
             num_workers=self.num_workers, drop_last=False,
             scale_batch_by_bucket=False,
             worker_type=self.worker_type,
+            num_shards=num_shards, shard_index=shard_index,
         )

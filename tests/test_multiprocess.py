@@ -79,3 +79,61 @@ def test_two_process_dp_matches_single_device(tmp_path):
             err_msg=f"leaf {key} diverged between 2-process DP and "
                     f"single-device",
         )
+
+
+@pytest.fixture(scope="module")
+def flat_dataset(tmp_path_factory):
+    from scripts.make_synthetic_dataset import write_set
+    from mug_diffusion_tpu.data.dataset import OsuDataset
+
+    td = str(tmp_path_factory.mktemp("shards"))
+    paths = [write_set(td, f"s{i}", 2.0, 180.0, seed=i) for i in range(5)]
+    txt = os.path.join(td, "beatmap.txt")
+    with open(txt, "w") as f:
+        f.writelines(p + "\n" for p in paths)
+
+    def make(**kw):
+        return OsuDataset(
+            txt_file=[txt], sr=22050, n_fft=512, max_audio_frame=512,
+            audio_note_window_ratio=8, n_mels=16,
+            cache_dir=os.path.join(td, "cache"), with_audio=False, **kw,
+        )
+
+    return make
+
+
+def test_sharded_loaders_are_disjoint_and_equal_length(flat_dataset):
+    """num_shards/shard_index (the reference's DistributedSampler under
+    DDP): same epoch permutation on every rank, disjoint strides, equal
+    batch counts (unequal would deadlock cross-process collectives)."""
+    from mug_diffusion_tpu.data.dataset import Loader
+
+    ds = flat_dataset()
+    loaders = [
+        Loader(ds, batch_size=2, shuffle=True, num_workers=2, seed=3,
+               num_shards=2, shard_index=i)
+        for i in (0, 1)
+    ]
+    seen = []
+    for ld in loaders:
+        assert len(ld) == 1  # 5 items -> 2 per shard -> 1 batch of 2
+        batches = list(ld)
+        assert len(batches) == 1
+        seen.append({m["path"] for b in batches for m in b["meta"]})
+    assert seen[0] and seen[1] and not (seen[0] & seen[1])
+
+
+def test_sharding_rejects_bucketed_datasets(flat_dataset):
+    from mug_diffusion_tpu.data.dataset import Loader
+
+    ds = flat_dataset(length_buckets=[32, 64])
+    with pytest.raises(NotImplementedError):
+        Loader(ds, batch_size=2, shuffle=False, num_shards=2, shard_index=0)
+
+
+def test_shard_index_bounds(flat_dataset):
+    from mug_diffusion_tpu.data.dataset import Loader
+
+    with pytest.raises(ValueError):
+        Loader(flat_dataset(), batch_size=2, shuffle=False,
+               num_shards=2, shard_index=2)
