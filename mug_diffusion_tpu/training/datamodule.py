@@ -31,15 +31,6 @@ class DataModuleFromConfig:
         # "process" = the reference's worker-process loaders (main.py:163-246
         # num_workers) for multi-core hosts; see data/dataset.py Loader
         self.worker_type = worker_type
-
-    @staticmethod
-    def _process_shard():
-        """Per-rank loader shard under multi-process SPMD (the reference's
-        DistributedSampler under DDP): (num_shards, shard_index) from the
-        JAX runtime, (1, 0) single-process."""
-        import jax
-
-        return jax.process_count(), jax.process_index()
         self.common_params = dict(common_params or {})
         self.dataset_configs = {}
         if train is not None:
@@ -49,6 +40,15 @@ class DataModuleFromConfig:
         if test is not None:
             self.dataset_configs["test"] = test
         self.datasets = {}
+
+    @staticmethod
+    def _process_shard():
+        """Per-rank loader shard under multi-process SPMD (the reference's
+        DistributedSampler under DDP): (num_shards, shard_index) from the
+        JAX runtime, (1, 0) single-process."""
+        import jax
+
+        return jax.process_count(), jax.process_index()
 
     def setup(self):
         for split, cfg in self.dataset_configs.items():

@@ -72,6 +72,16 @@ class CSVLogger:
             csv.DictWriter(f, fieldnames=self._keys).writerow(row)
 
 
+class _NullLogger:
+    """Metrics sink for non-zero ranks under multi-process SPMD: every
+    rank computes the (replicated) metrics — the collectives need all
+    ranks — but only rank 0 should write files (Lightning's
+    rank_zero_only)."""
+
+    def log(self, metrics, step):
+        pass
+
+
 class Trainer:
     def __init__(
         self,
@@ -123,12 +133,18 @@ class Trainer:
         self.save_top_k = save_top_k
         self.callbacks = callbacks or []
         self.log_every_n_steps = log_every_n_steps
-        self.logger = CSVLogger(logdir)
+        # rank-zero-only side effects under multi-process SPMD: all ranks
+        # run the full compute (collectives need every rank) but only the
+        # main process writes metrics/checkpoints/W&B
+        self.is_main_process = jax.process_index() == 0
+        self.logger = (
+            CSVLogger(logdir) if self.is_main_process else _NullLogger()
+        )
         os.makedirs(os.path.join(logdir, "checkpoints"), exist_ok=True)
 
         # optional W&B mirror of the CSV logs (ref: main.py:557-581)
         self.wandb_run = None
-        if use_wandb:
+        if use_wandb and self.is_main_process:
             try:
                 import wandb
 
@@ -202,6 +218,20 @@ class Trainer:
                 )
             except Exception as e:  # structure changed; fresh opt state
                 print(f"opt_state restore failed ({e}); reinitialized")
+        if jax.process_count() > 1:
+            # multi-process SPMD: promote the per-process (deterministically
+            # seeded, so identical) params/opt_state to replicated GLOBAL
+            # arrays — jit over a mesh spanning non-addressable devices
+            # can't reshard process-local jax Arrays, only host data
+            rep = replicated_sharding(self.mesh)
+
+            def promote(x):
+                if hasattr(x, "shape"):
+                    return jax.device_put(np.asarray(x), rep)
+                return x
+
+            self.params = jax.tree_util.tree_map(promote, self.params)
+            self.opt_state = jax.tree_util.tree_map(promote, self.opt_state)
         self._build_steps()
         return self
 
@@ -231,6 +261,11 @@ class Trainer:
             out_shardings=(rep, rep, rep, rep),
             donate_argnums=(0, 1),
         )
+        # multi-process: AOT-compiled executables per batch signature (see
+        # _mp_ready)
+        self._mp_exec = {}
+        self._mp_val_aligned = set()
+        self._rep_sharding = rep
 
         # one jitted executable for ALL noise-decile levels (bounds traced;
         # a static level would compile the live model up to 10 times at
@@ -259,11 +294,15 @@ class Trainer:
                 metrics[f"loss_level_{level}"] = metrics.pop("loss_level")
                 return metrics
 
+            self._val_step_jit = val_step_traced
+
         else:  # tasks without decile stratification (VAE, test stubs)
 
             @functools.partial(jax.jit, static_argnums=(3,))
             def val_step(params, batch, rng, level):
                 return task.validation_metrics(params, batch, rng, level)
+
+            self._val_step_jit = None
 
         self._val_step = val_step
 
@@ -306,9 +345,17 @@ class Trainer:
                 for batch in train_loader:
                     dev_batch = self._device_batch(batch)
                     rng, step_rng = jax.random.split(rng)
+                    if jax.process_count() > 1:
+                        # AOT executables take exactly-placed inputs: the
+                        # key is host-identical on every rank, promote it
+                        # to a replicated global array
+                        step_rng = jax.device_put(
+                            np.asarray(step_rng), self._rep_sharding
+                        )
+                    step_fn = self._mp_ready(dev_batch, step_rng)
                     (
                         self.params, self.opt_state, loss, logs
-                    ) = self._train_step(
+                    ) = step_fn(
                         self.params, self.opt_state, dev_batch, step_rng,
                     )
                     self.global_step += 1
@@ -349,6 +396,7 @@ class Trainer:
                                              weights_only=True)
                     if self.max_steps and self.global_step >= self.max_steps:
                         self.save_checkpoint("last")
+                        self._sync_ranks()
                         return
                 epoch_time = time.time() - epoch_start
                 print(f"Epoch {epoch} time: {epoch_time:.1f}s")
@@ -372,6 +420,7 @@ class Trainer:
                 and self._last_ckpt_epoch != self.max_epochs - 1
             ):
                 self.save_checkpoint("last")
+            self._sync_ranks()
         except KeyboardInterrupt:
             print("Interrupted; saving checkpoint.")
             self.save_checkpoint("last")
@@ -422,6 +471,25 @@ class Trainer:
             # Derived from the trainer seed + batch index — stable across
             # processes and reruns (str hash() is salted per process).
             rng = jax.random.fold_in(jax.random.PRNGKey(self.seed), batch_idx)
+            if jax.process_count() > 1 and self._val_step_jit is not None:
+                # same compile-skew hazard as _mp_ready: align ranks before
+                # the first dispatch of each new val batch signature (the
+                # jit dispatch after this AOT warm hits the persistent
+                # compile cache, so ranks stay within the gloo handshake
+                # window)
+                sig = tuple(sorted(
+                    (k, tuple(v.shape), str(v.dtype))
+                    for k, v in dev_batch.items() if hasattr(v, "shape")
+                ))
+                if sig not in self._mp_val_aligned:
+                    self._val_step_jit.lower(
+                        self.params, dev_batch, rng,
+                        jnp.int32(0), jnp.int32(1),
+                    ).compile()
+                    self._mp_barrier(
+                        f"mug_val_ready_{len(self._mp_val_aligned)}"
+                    )
+                    self._mp_val_aligned.add(sig)
             metrics = self._val_step(
                 self.params, dev_batch, rng, batch_idx % 10
             )
@@ -503,7 +571,59 @@ class Trainer:
 
     # --------------------------------------------------------- checkpoints
 
+    def _mp_ready(self, dev_batch, rng):
+        """The train step to dispatch for this batch signature.
+
+        Single-process: the jitted step. Multi-process: cross-process
+        collective (gloo/ICI) contexts initialize lazily at a step's FIRST
+        execution with a ~30 s handshake timeout, while each rank's jit
+        compile of a new batch shape can skew ranks apart by minutes
+        (cache hit vs miss). So for every new signature: AOT-compile on every
+        rank (no collectives execute during compilation), BARRIER on the
+        coordination service, and only then dispatch — ranks enter the
+        handshake together. validate() applies the same treatment to the
+        val executable's signatures."""
+        if jax.process_count() <= 1:
+            return self._train_step
+        sig = tuple(sorted(
+            (k, tuple(v.shape), str(v.dtype))
+            for k, v in dev_batch.items() if hasattr(v, "shape")
+        ))
+        exe = self._mp_exec.get(sig)
+        if exe is None:
+            exe = self._train_step.lower(
+                self.params, self.opt_state, dev_batch, rng
+            ).compile()
+            self._mp_barrier(f"mug_step_ready_{len(self._mp_exec)}")
+            self._mp_exec[sig] = exe
+        return exe
+
+    @staticmethod
+    def _mp_barrier(name: str, timeout_ms: int = 3_600_000):
+        """Coordination-service barrier (NOT a device collective — gloo
+        contexts have their own 30 s handshake, which is the very problem
+        these barriers solve)."""
+        from jax._src import distributed
+
+        client = getattr(distributed.global_state, "client", None)
+        if client is not None:
+            client.wait_at_barrier(name, timeout_in_ms=timeout_ms)
+
+    def _sync_ranks(self):
+        """Leave fit in lockstep under multi-process SPMD: rank 0's
+        checkpoint write takes long enough that other (rank-gated) ranks
+        would otherwise reach the distributed-runtime shutdown barrier
+        alone and time it out, killing the job at the finish line. No-op
+        single-process; intentionally NOT called on exception paths (a
+        dying rank must not make the others block on a barrier)."""
+        if jax.process_count() > 1:
+            self._mp_barrier("mug_fit_end", timeout_ms=600_000)
+
     def save_checkpoint(self, name: str, weights_only: bool = False):
+        # EVERY rank calls this under multi-process SPMD: orbax
+        # coordinates the save itself (primary host writes, the others
+        # participate in its barriers) — rank-gating it deadlocks rank 0
+        # waiting for peers that never joined
         path = os.path.join(self.logdir, "checkpoints", name)
         payload = {"params": jax.device_get(self.params)["params"],
                    "step": self.global_step}
@@ -523,6 +643,7 @@ class Trainer:
         self._top_k.sort(key=lambda x: x[0])
         while len(self._top_k) > self.save_top_k:
             _, worst = self._top_k.pop()
-            import shutil
+            if self.is_main_process:  # peers would race the delete
+                import shutil
 
-            shutil.rmtree(worst, ignore_errors=True)
+                shutil.rmtree(worst, ignore_errors=True)

@@ -111,7 +111,56 @@ def make_global_batch():
     }
 
 
-def main(process_id: int, port: int, outdir: str):
+def run_trainer(jax, process_id: int, outdir: str):
+    """A real 2-process Trainer.fit: per-rank local batches through
+    _device_batch -> shard_batch's process-local branch, rank-zero-only
+    checkpoint + metrics writes, replicated global params."""
+    import numpy as np
+
+    from __graft_entry__ import _model_config
+    from mug_diffusion_tpu.parallel.mesh import create_mesh
+    from mug_diffusion_tpu.training.tasks import DiffusionTask
+    from mug_diffusion_tpu.training.trainer import Trainer
+
+    mesh = create_mesh()
+    z_len = Z_LEN
+    batch = make_global_batch()
+    half = GLOBAL_BATCH // 2
+
+    class RankStubData:
+        datasets = {"train": None}
+
+        def train_dataloader(self):
+            return [
+                {k: v[process_id * half:(process_id + 1) * half]
+                 for k, v in batch.items()}
+            ]
+
+    logdir = os.path.join(outdir, "run")  # SHARED dir: rank gating keeps
+    trainer = Trainer(                    # rank 1 from writing into it
+        DiffusionTask(_model_config(tiny=True)), logdir=logdir,
+        base_learning_rate=1e-4, batch_size=half, mesh=mesh,
+        scale_lr=False, max_epochs=1, log_every_n_steps=1, save_top_k=0,
+        ckpt_every_n_steps=None,
+    )
+    assert trainer.is_main_process == (process_id == 0)
+    trainer.setup(batch_spec={
+        "batch": 1, "z_length": z_len, "mel_length": z_len * 4,
+        "n_mels": 16,
+    })
+    trainer.fit(RankStubData())
+    assert trainer.global_step == 1, trainer.global_step
+    ckpt = os.path.join(logdir, "checkpoints", "last")
+    # orbax coordinated the save across ranks: both see the written tree
+    assert os.path.isdir(ckpt), f"coordinated checkpoint missing at {ckpt}"
+    w = np.asarray(
+        jax.tree_util.tree_leaves(trainer.params["params"]["unet_model"])[0]
+    )
+    assert np.isfinite(w).all()
+    print(f"mp_worker {process_id}: TRAINER OK", flush=True)
+
+
+def main(process_id: int, port: int, outdir: str, mode: str = "step"):
     jax = _configure_cpu(n_local_devices=2)
     jax.distributed.initialize(
         coordinator_address=f"localhost:{port}",
@@ -120,6 +169,10 @@ def main(process_id: int, port: int, outdir: str):
     )
     assert jax.process_count() == 2, jax.process_count()
     assert len(jax.devices()) == 4 and len(jax.local_devices()) == 2
+
+    if mode == "trainer":
+        run_trainer(jax, process_id, outdir)
+        return
 
     import numpy as np
 
@@ -168,4 +221,5 @@ def main(process_id: int, port: int, outdir: str):
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]), int(sys.argv[2]), sys.argv[3])
+    main(int(sys.argv[1]), int(sys.argv[2]), sys.argv[3],
+         sys.argv[4] if len(sys.argv) > 4 else "step")

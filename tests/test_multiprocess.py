@@ -137,3 +137,37 @@ def test_shard_index_bounds(flat_dataset):
     with pytest.raises(ValueError):
         Loader(flat_dataset(), batch_size=2, shuffle=False,
                num_shards=2, shard_index=2)
+
+
+def test_two_process_trainer_fit(tmp_path):
+    """Trainer.fit unmodified under real 2-process SPMD: per-rank loader
+    halves, AOT-compile + coordination barrier before the first dispatch
+    (gloo contexts handshake within their 30 s window), orbax-coordinated
+    checkpoint save, rank-zero-only metrics, lockstep fit exit."""
+    worker = os.path.join(os.path.dirname(__file__), "mp_worker.py")
+    port = _free_port()
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(i), str(port), str(tmp_path),
+             "trainer"],
+            env=dict(os.environ), stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT, text=True,
+        )
+        for i in (0, 1)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=900)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {i} failed:\n{out[-4000:]}"
+        assert f"mp_worker {i}: TRAINER OK" in out
+
+    # rank 0 wrote the checkpoint + metrics into the SHARED logdir
+    assert (tmp_path / "run" / "checkpoints" / "last").is_dir()
+    assert (tmp_path / "run" / "metrics.csv").is_file()
