@@ -344,9 +344,22 @@ class OsuDataset:
             return example
         except Exception as e:  # quarantine + resample (ref :265-271)
             if self.cache_dir is not None and path not in self.error_files:
-                with open(os.path.join(self.cache_dir, "error.txt"), "a+") as f:
-                    f.write(f"{path}: {e}\n")
-                self.error_files.append(path)
+                error_path = os.path.join(self.cache_dir, "error.txt")
+                # re-read before appending: process-pool workers each hold
+                # a pickled dataset copy whose in-memory error_files never
+                # syncs back to the parent — without this a persistent bad
+                # file gains a duplicate line per worker per epoch
+                try:
+                    with open(error_path) as f:
+                        self.error_files.extend(
+                            ln.split(": ", 1)[0] for ln in f
+                        )
+                except OSError:
+                    pass
+                if path not in self.error_files:
+                    with open(error_path, "a+") as f:
+                        f.write(f"{path}: {e}\n")
+                    self.error_files.append(path)
             return self.__getitem__(random.randint(0, len(self.beatmap_paths) - 1))
 
 
@@ -396,10 +409,11 @@ _WORKER_DS = None
 
 def _init_loader_worker(dataset, seed):
     """Process-pool initializer: stash the (picklable) dataset once per
-    worker and give each worker its own augmentation RNG stream — the
-    dataset's augments draw from the global np.random/random state, which
-    spawn would otherwise leave OS-seeded but identical error-resample
-    behavior is still per-worker."""
+    worker and seed each worker's global np.random/random state (which
+    the dataset's augmentations and error-resampling draw from) from the
+    loader seed + the worker's pid — deterministic per epoch-seed, yet
+    distinct across workers so they don't replay identical augmentation
+    streams."""
     global _WORKER_DS
     _WORKER_DS = dataset
     s = (seed + os.getpid()) % (2 ** 32)

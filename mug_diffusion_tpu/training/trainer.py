@@ -72,6 +72,15 @@ class CSVLogger:
             csv.DictWriter(f, fieldnames=self._keys).writerow(row)
 
 
+def _batch_sig(dev_batch) -> tuple:
+    """Stable shape/dtype signature of a device batch — the cache key for
+    multi-process compile alignment (one key per distinct executable)."""
+    return tuple(sorted(
+        (k, tuple(v.shape), str(v.dtype))
+        for k, v in dev_batch.items() if hasattr(v, "shape")
+    ))
+
+
 class _NullLogger:
     """Metrics sink for non-zero ranks under multi-process SPMD: every
     rank computes the (replicated) metrics — the collectives need all
@@ -264,7 +273,7 @@ class Trainer:
         # multi-process: AOT-compiled executables per batch signature (see
         # _mp_ready)
         self._mp_exec = {}
-        self._mp_val_aligned = set()
+        self._mp_val_exec = {}
         self._rep_sharding = rep
 
         # one jitted executable for ALL noise-decile levels (bounds traced;
@@ -295,6 +304,7 @@ class Trainer:
                 return metrics
 
             self._val_step_jit = val_step_traced
+            self._val_num_t = num_t
 
         else:  # tasks without decile stratification (VAE, test stubs)
 
@@ -308,6 +318,16 @@ class Trainer:
 
     # ---------------------------------------------------------------- fit
 
+    def _local_device_multiple(self) -> int:
+        """The batch-divisibility requirement for THIS process's local
+        batch: the number of mesh devices this process owns.
+        Single-process that is the whole mesh; multi-process each rank
+        feeds only its local shard (make_array_from_process_local_data
+        assembles the global batch), so requiring the GLOBAL count here
+        would over-pad — or, in validate(), silently skip every batch."""
+        n_dev = int(np.prod(self.mesh.devices.shape))
+        return max(1, n_dev // jax.process_count())
+
     def _device_batch(self, batch):
         tensors = {
             k: v for k, v in batch.items() if isinstance(v, np.ndarray)
@@ -318,7 +338,7 @@ class Trainer:
         # variance -> NaN grads, docs/PERF.md). The repeats bias the last
         # batch's mean loss slightly, same as the reference's smaller final
         # DDP batch reweighting (ref main.py:536-537 DDP + drop_last=False).
-        n_dev = int(np.prod(self.mesh.devices.shape))
+        n_dev = self._local_device_multiple()
         b = next(iter(tensors.values())).shape[0] if tensors else 0
         if b and b % n_dev != 0:
             idx = np.resize(np.arange(b), b + (-b) % n_dev)
@@ -334,8 +354,9 @@ class Trainer:
         rng = jax.random.PRNGKey(self.seed + 1)
 
         def melk(*args):
+            # SIGUSR1 lands on ONE host: never do a collective save here
             print("Dumping emergency checkpoint...")
-            self.save_checkpoint("last")
+            self.save_checkpoint("last", collective=False)
             raise KeyboardInterrupt
 
         old_handler = signal.signal(signal.SIGUSR1, melk)
@@ -423,10 +444,10 @@ class Trainer:
             self._sync_ranks()
         except KeyboardInterrupt:
             print("Interrupted; saving checkpoint.")
-            self.save_checkpoint("last")
+            self.save_checkpoint("last", collective=False)
         except Exception:
             traceback.print_exc()
-            self.save_checkpoint("on_exception")
+            self.save_checkpoint("on_exception", collective=False)
             raise
         finally:
             signal.signal(signal.SIGUSR1, old_handler)
@@ -446,7 +467,7 @@ class Trainer:
 
     def validate(self, val_loader, epoch: int):
         all_metrics: Dict[str, list] = {}
-        n_dev = int(np.prod(self.mesh.devices.shape))
+        n_dev = self._local_device_multiple()
         for batch_idx, batch in enumerate(val_loader):
             # TRIM uneven val batches to a mesh multiple instead of
             # cycle-padding: duplicated samples would bias the val means
@@ -471,27 +492,8 @@ class Trainer:
             # Derived from the trainer seed + batch index — stable across
             # processes and reruns (str hash() is salted per process).
             rng = jax.random.fold_in(jax.random.PRNGKey(self.seed), batch_idx)
-            if jax.process_count() > 1 and self._val_step_jit is not None:
-                # same compile-skew hazard as _mp_ready: align ranks before
-                # the first dispatch of each new val batch signature (the
-                # jit dispatch after this AOT warm hits the persistent
-                # compile cache, so ranks stay within the gloo handshake
-                # window)
-                sig = tuple(sorted(
-                    (k, tuple(v.shape), str(v.dtype))
-                    for k, v in dev_batch.items() if hasattr(v, "shape")
-                ))
-                if sig not in self._mp_val_aligned:
-                    self._val_step_jit.lower(
-                        self.params, dev_batch, rng,
-                        jnp.int32(0), jnp.int32(1),
-                    ).compile()
-                    self._mp_barrier(
-                        f"mug_val_ready_{len(self._mp_val_aligned)}"
-                    )
-                    self._mp_val_aligned.add(sig)
-            metrics = self._val_step(
-                self.params, dev_batch, rng, batch_idx % 10
+            metrics = self._dispatch_val_step(
+                dev_batch, rng, batch_idx % 10
             )
             metrics = jax.device_get(metrics)
             for k, v in metrics.items():
@@ -585,10 +587,7 @@ class Trainer:
         val executable's signatures."""
         if jax.process_count() <= 1:
             return self._train_step
-        sig = tuple(sorted(
-            (k, tuple(v.shape), str(v.dtype))
-            for k, v in dev_batch.items() if hasattr(v, "shape")
-        ))
+        sig = _batch_sig(dev_batch)
         exe = self._mp_exec.get(sig)
         if exe is None:
             exe = self._train_step.lower(
@@ -597,6 +596,50 @@ class Trainer:
             self._mp_barrier(f"mug_step_ready_{len(self._mp_exec)}")
             self._mp_exec[sig] = exe
         return exe
+
+    def _dispatch_val_step(self, dev_batch, rng, level: int):
+        """Run the validation step for one batch.
+
+        Single-process: the jitted wrapper. Multi-process: the same
+        compile-skew hazard as _mp_ready — each new executable's
+        collective contexts handshake within ~30 s of first execution —
+        so per signature the step is AOT-compiled, rank-barriered, STORED,
+        and dispatched directly (no jit re-dispatch, no reliance on the
+        persistent compile cache being writable on every host). The
+        traced-bounds path keys by batch signature (one executable serves
+        all 10 deciles); the static-level path (VAE task) keys by
+        (signature, level)."""
+        if jax.process_count() <= 1:
+            return self._val_step(self.params, dev_batch, rng, level)
+
+        rng = jax.device_put(np.asarray(rng), self._rep_sharding)
+        sig = _batch_sig(dev_batch)
+        if self._val_step_jit is not None:
+            lo = int(level / 10 * self._val_num_t)
+            hi = int((level + 1) / 10 * self._val_num_t)
+            lo_hi = tuple(
+                jax.device_put(np.int32(v), self._rep_sharding)
+                for v in (lo, hi)
+            )
+            exe = self._mp_val_exec.get(sig)
+            if exe is None:
+                exe = self._val_step_jit.lower(
+                    self.params, dev_batch, rng, *lo_hi
+                ).compile()
+                self._mp_barrier(f"mug_val_ready_{len(self._mp_val_exec)}")
+                self._mp_val_exec[sig] = exe
+            metrics = dict(exe(self.params, dev_batch, rng, *lo_hi))
+            metrics[f"loss_level_{level}"] = metrics.pop("loss_level")
+            return metrics
+        key = (sig, level)
+        exe = self._mp_val_exec.get(key)
+        if exe is None:
+            exe = self._val_step.lower(
+                self.params, dev_batch, rng, level
+            ).compile()
+            self._mp_barrier(f"mug_val_ready_{len(self._mp_val_exec)}")
+            self._mp_val_exec[key] = exe
+        return exe(self.params, dev_batch, rng)  # level is baked (static)
 
     @staticmethod
     def _mp_barrier(name: str, timeout_ms: int = 3_600_000):
@@ -619,12 +662,32 @@ class Trainer:
         if jax.process_count() > 1:
             self._mp_barrier("mug_fit_end", timeout_ms=600_000)
 
-    def save_checkpoint(self, name: str, weights_only: bool = False):
+    def save_checkpoint(self, name: str, weights_only: bool = False,
+                        collective: bool = True):
         # EVERY rank calls this under multi-process SPMD: orbax
         # coordinates the save itself (primary host writes, the others
         # participate in its barriers) — rank-gating it deadlocks rank 0
-        # waiting for peers that never joined
+        # waiting for peers that never joined. ``collective=False`` is for
+        # exception/interrupt paths, where only ONE rank may be alive: a
+        # collective save from a single rank would deadlock against peers
+        # still blocked inside the train-step collective, so it falls back
+        # to a rank-local npz dump of the (replicated) params instead.
         path = os.path.join(self.logdir, "checkpoints", name)
+        if not collective and jax.process_count() > 1:
+            rank = jax.process_index()
+            path = os.path.join(
+                self.logdir, "checkpoints",
+                f"{name}_rank{rank}_emergency.npz",
+            )
+            flat, _ = jax.tree_util.tree_flatten_with_path(
+                jax.device_get(self.params)["params"]
+            )
+            np.savez(
+                path, step=self.global_step,
+                **{jax.tree_util.keystr(p): np.asarray(v) for p, v in flat},
+            )
+            print(f"rank {rank}: emergency params dump at {path}")
+            return path
         payload = {"params": jax.device_get(self.params)["params"],
                    "step": self.global_step}
         if not weights_only and self.opt_state is not None:
