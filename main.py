@@ -19,6 +19,7 @@ import glob
 import os
 import sys
 
+import jax
 import yaml
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -48,6 +49,13 @@ def get_parser():
     p.add_argument("-l", "--logdir", type=str, default="logs")
     p.add_argument("--devices", type=int, default=None,
                    help="number of devices for the data mesh")
+    p.add_argument("--distributed", action="store_true",
+                   help="multi-host SPMD: jax.distributed.initialize() "
+                        "from the cluster environment (TPU pods "
+                        "auto-detect; elsewhere set JAX_COORDINATOR_"
+                        "ADDRESS/JAX_NUM_PROCESSES/JAX_PROCESS_ID). "
+                        "Every host runs this same command; loaders "
+                        "shard per rank automatically")
     p.add_argument("--scale_lr", type=bool, default=True)
     p.add_argument("--max_epochs", type=int, default=1000)
     p.add_argument("--max_steps", type=int, default=None)
@@ -57,6 +65,26 @@ def get_parser():
 def main(argv=None):
     parser = get_parser()
     opt, unknown = parser.parse_known_args(argv)
+
+    if opt.distributed:
+        # must run before any device access; forms the global multi-host
+        # runtime the mesh/loaders/trainer then pick up via
+        # jax.process_count()/process_index() (ref DDP: main.py:536-537).
+        # On TPU pods/SLURM the cluster auto-detects; generic clusters set
+        # JAX_COORDINATOR_ADDRESS + JAX_NUM_PROCESSES + JAX_PROCESS_ID.
+        kw = {}
+        if os.environ.get("JAX_NUM_PROCESSES"):
+            kw = dict(
+                coordinator_address=os.environ["JAX_COORDINATOR_ADDRESS"],
+                num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
+                process_id=int(os.environ["JAX_PROCESS_ID"]),
+            )
+        jax.distributed.initialize(**kw)
+        print(
+            f"distributed: process {jax.process_index()}/"
+            f"{jax.process_count()}, {len(jax.local_devices())} local / "
+            f"{len(jax.devices())} global devices"
+        )
 
     if opt.resume:
         if os.path.isfile(opt.resume):
@@ -78,16 +106,32 @@ def main(argv=None):
             if opt.base else "run"
         )
         nowname = now + ("_" + opt.name if opt.name else "_" + cfg_name)
+        if opt.distributed:
+            # ranks start at slightly different wall-clocks: every rank
+            # must use rank 0's timestamped run name or the coordinated
+            # checkpoint saves would target different directories
+            from jax._src import distributed
+
+            client = getattr(distributed.global_state, "client", None)
+            if client is not None and jax.process_count() > 1:
+                if jax.process_index() == 0:
+                    client.key_value_set("mug_nowname", nowname)
+                nowname = client.blocking_key_value_get(
+                    "mug_nowname", timeout_in_ms=60_000
+                )
         logdir = os.path.join(opt.logdir, nowname)
 
     config = load_config(*opt.base)
     config = apply_dotlist(config, [u for u in unknown if "=" in u])
 
     os.makedirs(os.path.join(logdir, "configs"), exist_ok=True)
-    with open(
-        os.path.join(logdir, "configs", "project.yaml"), "w"
-    ) as f:
-        yaml.safe_dump(config, f)
+    if not opt.distributed or jax.process_index() == 0:
+        # rank-0-only on shared filesystems: identical-content races are
+        # still races
+        with open(
+            os.path.join(logdir, "configs", "project.yaml"), "w"
+        ) as f:
+            yaml.safe_dump(config, f)
 
     model_config = config["model"]
     data_config = config["data"]

@@ -160,7 +160,40 @@ def run_trainer(jax, process_id: int, outdir: str):
     print(f"mp_worker {process_id}: TRAINER OK", flush=True)
 
 
+def run_cli(jax, process_id: int, port: int, outdir: str):
+    """The FULL CLI under 2 processes: ``main.py -b cfg -t --distributed``
+    — env-configured jax.distributed.initialize, rank-0 run-name
+    broadcast, per-rank loader shards, coordinated checkpoint save. The
+    pytest driver pre-writes the dataset + tiny.yaml into outdir."""
+    os.environ["JAX_COORDINATOR_ADDRESS"] = f"localhost:{port}"
+    os.environ["JAX_NUM_PROCESSES"] = "2"
+    os.environ["JAX_PROCESS_ID"] = str(process_id)
+
+    import main as main_mod
+
+    trainer = main_mod.main([
+        "-b", os.path.join(outdir, "tiny.yaml"), "-t",
+        "--max_steps", "1", "--max_epochs", "1",
+        "-l", os.path.join(outdir, "logs"), "-n", "mpcli",
+        "--distributed",
+    ])
+    assert jax.process_count() == 2
+    assert trainer.global_step == 1
+    assert trainer.is_main_process == (process_id == 0)
+    runs = os.listdir(os.path.join(outdir, "logs"))
+    assert len(runs) == 1, runs  # both ranks used rank 0's run name
+    ckpt = os.path.join(outdir, "logs", runs[0], "checkpoints", "last")
+    assert os.path.isdir(ckpt), ckpt
+    print(f"mp_worker {process_id}: CLI OK logdir={runs[0]}", flush=True)
+
+
 def main(process_id: int, port: int, outdir: str, mode: str = "step"):
+    if mode == "cli":
+        # main.py does its own jax.distributed.initialize (--distributed)
+        jax = _configure_cpu(n_local_devices=2)
+        run_cli(jax, process_id, port, outdir)
+        return
+
     jax = _configure_cpu(n_local_devices=2)
     jax.distributed.initialize(
         coordinator_address=f"localhost:{port}",

@@ -171,3 +171,84 @@ def test_two_process_trainer_fit(tmp_path):
     # rank 0 wrote the checkpoint + metrics into the SHARED logdir
     assert (tmp_path / "run" / "checkpoints" / "last").is_dir()
     assert (tmp_path / "run" / "metrics.csv").is_file()
+
+
+def test_two_process_cli_distributed(tmp_path):
+    """`python main.py -b cfg -t --distributed` on two processes: the
+    generic-cluster env path (JAX_COORDINATOR_ADDRESS/NUM_PROCESSES/
+    PROCESS_ID), rank-0 run-name broadcast over the coordination KV
+    store, per-rank loader shards, and the coordinated max-steps
+    checkpoint — the whole reference DDP workflow (ref main.py:536-537)
+    through OUR CLI."""
+    import sqlite3
+
+    import yaml
+
+    from test_training import (  # noqa: F401 (tests/ on sys.path)
+        SCHEMA, _dataset_kwargs, _tiny_model_config, write_synthetic_set,
+    )
+    from scripts.prepare_beatmap_features import prepare_features
+
+    paths = [
+        write_synthetic_set(str(tmp_path), f"set{i}", seed=i)
+        for i in range(4)
+    ]
+    txt = os.path.join(str(tmp_path), "beatmap.txt")
+    with open(txt, "w") as f:
+        f.writelines(p + "\n" for p in paths)
+    prepare_features(txt, SCHEMA, osu_tools=None)
+    conn = sqlite3.connect(os.path.join(str(tmp_path), "feature.db"))
+    conn.execute("UPDATE Feature SET sr = 3.5")
+    conn.commit()
+    conn.close()
+
+    cfg = {
+        "model": _tiny_model_config(),
+        "data": {
+            "target":
+                "mug_diffusion_tpu.training.datamodule.DataModuleFromConfig",
+            "params": {
+                "batch_size": 2,
+                "num_workers": 2,
+                "common_params": _dataset_kwargs(
+                    txt, os.path.join(str(tmp_path), "cache")
+                ),
+                "train": {
+                    "target":
+                        "mug_diffusion_tpu.data.dataset.OsuTrainDataset",
+                    "params": {},
+                },
+            },
+        },
+        "lightning": {"trainer": {"log_every_n_steps": 1}},
+    }
+    with open(tmp_path / "tiny.yaml", "w") as f:
+        yaml.safe_dump(cfg, f)
+
+    worker = os.path.join(os.path.dirname(__file__), "mp_worker.py")
+    port = _free_port()
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(i), str(port), str(tmp_path),
+             "cli"],
+            env=dict(os.environ), stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT, text=True,
+        )
+        for i in (0, 1)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=900)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    logdirs = set()
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {i} failed:\n{out[-4000:]}"
+        line = [ln for ln in out.splitlines() if "CLI OK" in ln]
+        assert line, out[-2000:]
+        logdirs.add(line[0].split("logdir=")[1])
+    assert len(logdirs) == 1  # rank 0's broadcast run name won on both

@@ -372,3 +372,57 @@ def test_validate_weights_metrics_by_batch_size():
     )
     assert abs(means["val/loss"] - (8 * 1.0 + 2 * 2.0) / 10) < 1e-12
     assert means["val/loss_q3"] == 5.0
+
+
+def test_main_cli_end_to_end(data_root, tmp_path):
+    """The reference's headline entrypoint (`python main.py -b cfg.yaml -t`,
+    ref main.py): layered YAML -> reflection-instantiated task + datamodule
+    -> logdir with config snapshot -> two real train steps -> last
+    checkpoint. Drives the full CLI wiring, not the Trainer directly."""
+    import yaml
+
+    import main as main_mod
+
+    root, txt = data_root
+    cfg = {
+        "model": _tiny_model_config(),
+        "data": {
+            "target":
+                "mug_diffusion_tpu.training.datamodule.DataModuleFromConfig",
+            "params": {
+                "batch_size": 2,
+                "num_workers": 2,
+                "common_params": _dataset_kwargs(
+                    txt, str(tmp_path / "cache")
+                ),
+                "train": {
+                    "target":
+                        "mug_diffusion_tpu.data.dataset.OsuTrainDataset",
+                    "params": {},
+                },
+                "validation": {
+                    "target":
+                        "mug_diffusion_tpu.data.dataset.OsuValidDataset",
+                    "params": {},
+                },
+            },
+        },
+        "lightning": {"trainer": {"log_every_n_steps": 1}},
+    }
+    cfg_path = str(tmp_path / "tiny.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+
+    logroot = str(tmp_path / "logs")
+    trainer = main_mod.main([
+        "-b", cfg_path, "-t", "--max_steps", "2", "--max_epochs", "1",
+        "-l", logroot, "-n", "clitest",
+    ])
+    assert trainer.global_step == 2
+    runs = os.listdir(logroot)
+    assert len(runs) == 1 and runs[0].endswith("_clitest")
+    logdir = os.path.join(logroot, runs[0])
+    assert os.path.isdir(os.path.join(logdir, "checkpoints", "last"))
+    assert os.path.isfile(os.path.join(logdir, "configs", "project.yaml"))
+    with open(os.path.join(logdir, "metrics.csv")) as f:
+        assert "loss" in f.read()
