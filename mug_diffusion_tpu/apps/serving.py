@@ -55,6 +55,7 @@ def build_fused_generate(
     mesh=None,
     data_axis: str = "data",
     shard_wave_time: bool = False,
+    param_shardings=None,
 ):
     """Returns jitted ``generate(params, wave_samples, feature, uc_feature,
     rng) -> decoded [count, z_length*8, 16]``.
@@ -151,7 +152,12 @@ def build_fused_generate(
                 return a
 
         audio_sh = batch_sh if input_kind == "mel_batch" else rep_sh
-        in_sh = [rep_sh, audio_sh, batch_sh, batch_sh, rep_sh, rep_sh]
+        # params default replicated; pass parallel/tp.py tp_shardings for
+        # tensor-parallel serving over a (data, model) mesh — GSPMD then
+        # splits the attention/GEGLU matmuls across the model axis inside
+        # the same fused executable
+        params_sh = param_shardings if param_shardings is not None else rep_sh
+        in_sh = [params_sh, audio_sh, batch_sh, batch_sh, rep_sh, rep_sh]
         if dynamic:
             in_sh += [rep_sh, rep_sh]  # steps, eta scalars
         if use_mask:

@@ -313,6 +313,19 @@ def test_sharded_fused_generate_matches_unsharded():
         build_fused_generate(ddpm, mesh=mesh, count=3, steps=steps,
                              scale=3.0, z_length=z_length)
 
+    # tensor-parallel serving: charts over `data`, attention/GEGLU matmuls
+    # over `model` (parallel/tp.py layouts) in the SAME fused executable —
+    # still numerically identical to single-device
+    from mug_diffusion_tpu.parallel.tp import tp_shardings
+
+    mesh2 = create_mesh(n_devices=4, axes=("data", "model"), shape=(2, 2))
+    fused_tp = build_fused_generate(
+        ddpm, mesh=mesh2, param_shardings=tp_shardings(params, mesh2),
+        **kwargs,
+    )
+    out_tp = fused_tp(params, wave_samples, feature, uc_feature, rng)
+    np.testing.assert_allclose(np.asarray(out_tp), ref, atol=1e-5)
+
 
 def test_pipeline_mesh_divisibility_fallback():
     """GenerationPipeline(mesh=...) uses the mesh only when the request
