@@ -237,7 +237,17 @@ def main(process_id: int, port: int, outdir: str, mode: str = "step"):
         for k, v in batch.items()
     }
     dev_batch = shard_batch(local, mesh)  # process-local data branch
-    params, opt_state, loss = step(params, opt_state, dev_batch)
+    # AOT-compile then barrier before the first dispatch (same pattern as
+    # Trainer._mp_ready): gloo collective contexts handshake within ~30 s
+    # of first execution, and on a contended single-core host two
+    # concurrent compiles can skew the ranks past that window
+    exe = step.lower(params, opt_state, dev_batch).compile()
+    from jax._src import distributed
+
+    distributed.global_state.client.wait_at_barrier(
+        "mp_step_ready", timeout_in_ms=3_600_000
+    )
+    params, opt_state, loss = exe(params, opt_state, dev_batch)
     loss = float(np.asarray(loss))
     assert np.isfinite(loss)
 
