@@ -354,12 +354,16 @@ class Trainer:
         rng = jax.random.PRNGKey(self.seed + 1)
 
         def melk(*args):
-            # SIGUSR1 lands on ONE host: never do a collective save here
+            # signals land on ONE host: never do a collective save here
             print("Dumping emergency checkpoint...")
             self.save_checkpoint("last", collective=False)
             raise KeyboardInterrupt
 
-        old_handler = signal.signal(signal.SIGUSR1, melk)
+        # SIGUSR1: manual dump (ref melk, main.py:715-724). SIGTERM:
+        # TPU/cloud preemption notice — save and exit cleanly so -r resume
+        # continues the run (the reference has no preemption handling)
+        old_usr1 = signal.signal(signal.SIGUSR1, melk)
+        old_term = signal.signal(signal.SIGTERM, melk)
         try:
             for epoch in range(self.max_epochs):
                 epoch_start = time.time()
@@ -450,7 +454,8 @@ class Trainer:
             self.save_checkpoint("on_exception", collective=False)
             raise
         finally:
-            signal.signal(signal.SIGUSR1, old_handler)
+            signal.signal(signal.SIGUSR1, old_usr1)
+            signal.signal(signal.SIGTERM, old_term)
 
     @staticmethod
     def _weighted_means(all_metrics: Dict[str, list]) -> dict:

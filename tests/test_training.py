@@ -426,3 +426,63 @@ def test_main_cli_end_to_end(data_root, tmp_path):
     assert os.path.isfile(os.path.join(logdir, "configs", "project.yaml"))
     with open(os.path.join(logdir, "metrics.csv")) as f:
         assert "loss" in f.read()
+
+
+def test_sigterm_preemption_saves_and_exits_cleanly(tmp_path):
+    """SIGTERM (TPU/cloud preemption notice) during fit must dump a
+    checkpoint and return cleanly so `-r` resume continues the run —
+    preemption resilience the reference lacks entirely."""
+    import signal
+    import threading
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from mug_diffusion_tpu.parallel.mesh import create_mesh
+    from mug_diffusion_tpu.training.trainer import Trainer
+
+    class ToyTask:
+        config = {"params": {}}
+        monitor = "val/loss"
+
+        def init_params(self, rng, batch_spec=None):
+            return {"params": {"w": jnp.zeros((4,))}}
+
+        def loss_fn(self, params, batch, rng, train=True, **kw):
+            loss = jnp.sum((params["params"]["w"] - batch["y"]) ** 2)
+            return loss, {"train/loss": loss}
+
+        def validation_metrics(self, params, batch, rng, batch_idx):
+            return {}
+
+        def make_optimizer(self, params, lr):
+            return optax.sgd(lr)
+
+    class EndlessData:
+        datasets = {"train": None}
+
+        def train_dataloader(self):
+            def gen():
+                while True:
+                    yield {"y": np.ones((2, 4), np.float32)}
+
+            return gen()
+
+    trainer = Trainer(
+        ToyTask(), str(tmp_path / "run"), base_learning_rate=0.1,
+        batch_size=2, mesh=create_mesh(n_devices=2), scale_lr=False,
+        max_epochs=1000, log_every_n_steps=10 ** 9,
+    )
+    trainer.setup()
+    timer = threading.Timer(
+        3.0, lambda: signal.raise_signal(signal.SIGTERM)
+    )
+    timer.start()
+    try:
+        trainer.fit(EndlessData())  # returns (no raise): preemption caught
+    finally:
+        timer.cancel()
+    assert trainer.global_step > 0
+    assert os.path.isdir(os.path.join(str(tmp_path / "run"),
+                                      "checkpoints", "last"))
