@@ -232,135 +232,221 @@ class OsuDataset:
 
     # ---------------------------------------------------------- examples
 
-    def __getitem__(self, i):
-        path = self.beatmap_paths[i]
-        convertor_params = self.convertor_params.copy()
-        convertor_params["mirror"] = np.random.random() < self.mirror_p
-        convertor_params["random"] = np.random.random() < self.random_p
-        convertor_params["mirror_at_interval_prob"] = self.mirror_at_interval_p
-        convertor_params["offset_ms"] = 0
-        convertor_params["rate"] = 1.0
-        if self.rate is not None and np.random.random() < self.rate_p:
-            convertor_params["rate"] = (
-                np.random.random() * (self.rate[1] - self.rate[0]) + self.rate[0]
-            )
-        if np.random.random() < self.shift_p:
+    def draw_convertor_params(self, rng=None) -> dict:
+        """One item's augmentation draw (ref: dataset.py:198-257 head).
+
+        ``rng=None`` draws from the global np.random/random streams — the
+        legacy ``__getitem__`` path, identical draw order to before. Passing
+        a ``np.random.Generator`` gives a deterministic per-(epoch, index)
+        stream: the basis for rank-synchronized bucket sharding, where every
+        SPMD process must derive the identical (rate, shift) — and hence the
+        identical length bucket — for the same item.
+        """
+        randf = np.random.random if rng is None else rng.random
+        p = self.convertor_params.copy()
+        p["mirror"] = randf() < self.mirror_p
+        p["random"] = randf() < self.random_p
+        p["mirror_at_interval_prob"] = self.mirror_at_interval_p
+        p["offset_ms"] = 0
+        p["rate"] = 1.0
+        if self.rate is not None and randf() < self.rate_p:
+            p["rate"] = randf() * (self.rate[1] - self.rate[0]) + self.rate[0]
+        if randf() < self.shift_p:
             assert not self.with_audio, "Cannot shift audio currently!"
-            convertor_params["offset_ms"] = random.randint(
-                0,
-                int(
-                    convertor_params["max_frame"]
-                    * convertor_params["frame_ms"] / 2
-                ),
-            )
+            hi = int(p["max_frame"] * p["frame_ms"] / 2)
+            if rng is None:
+                p["offset_ms"] = random.randint(0, hi)
+            else:
+                p["offset_ms"] = int(rng.integers(0, hi + 1))
+        return p
+
+    def _choose_bucket(self, valid_flag, frame_ms: float) -> int:
+        nz = np.nonzero(valid_flag)[0]
+        needed = int(nz.max()) + 1 if nz.size else 1
+        # +2 s: the audio context past the last note is kept (zeroed
+        # after, see load_item) like the reference — the bucket must
+        # cover it, not crop it (charts ending just under a bucket
+        # boundary would otherwise lose their tail context)
+        tail = int(np.ceil(2000.0 / frame_ms))
+        return next(
+            (b for b in self.length_buckets if b >= needed + tail),
+            self.length_buckets[-1],
+        )
+
+    def __getitem__(self, i):
+        convertor_params = self.draw_convertor_params()
         try:
-            objs, beatmap_meta = parse_osu_file(path, convertor_params)
-            obj_array, valid_flag = beatmap_meta.convertor.objects_to_array(
-                objs, beatmap_meta
-            )
-            nb = None  # bucketed note-frame count (None = full max_frame)
-            if self.length_buckets:
-                nz = np.nonzero(valid_flag)[0]
-                needed = int(nz.max()) + 1 if nz.size else 1
-                # +2 s: the audio context past the last note is kept (zeroed
-                # after, see below) like the reference — the bucket must
-                # cover it, not crop it (charts ending just under a bucket
-                # boundary would otherwise lose their tail context)
-                tail = int(np.ceil(2000.0 / convertor_params["frame_ms"]))
-                nb = next(
-                    (b for b in self.length_buckets if b >= needed + tail),
-                    self.length_buckets[-1],
-                )
-            example = {
-                "meta": beatmap_meta.for_batch(),
-                "convertor": convertor_params,
-                "note": obj_array.T[:nb].astype(np.float32),  # [T, 4K]
-                "valid_flag": valid_flag[:nb].astype(np.float32),
-            }
-            if self.with_audio:
-                audio = load_audio(
-                    self.cache_dir, beatmap_meta.audio, self.n_mels,
-                    self.audio_hop_length, self.n_fft, self.sr,
-                    self.max_duration,
-                ).astype(np.float32)
-
-                if convertor_params["rate"] != 1.0:
-                    t = int(round(audio.shape[1] / convertor_params["rate"]))
-                    audio = _resize_audio_rate(audio, t)
-
-                t = audio.shape[1]
-                if t < self.max_audio_frame:
-                    audio = np.concatenate(
-                        [
-                            audio,
-                            np.zeros(
-                                (self.n_mels, self.max_audio_frame - t),
-                                dtype=np.float32,
-                            ),
-                        ],
-                        axis=1,
-                    )
-                elif t > self.max_audio_frame:
-                    audio = audio[:, : self.max_audio_frame]
-
-                # zero audio beyond the chart's valid window (+2 s)
-                max_length_ms = (
-                    np.sum(valid_flag) * convertor_params["frame_ms"] + 2000
-                )
-                max_valid_length = (
-                    int(max_length_ms / self.audio_frame_duration / 1000) + 1
-                )
-                if max_valid_length < audio.shape[1]:
-                    audio[:, max_valid_length:] = 0
-
-                if np.random.random() < self.freq_mask_p:
-                    f = int(np.random.uniform(0, self.freq_mask_num))
-                    f0 = random.randint(0, self.n_mels - f)
-                    audio[f0 : f0 + f, :] = 0
-
-                if np.random.random() < self.pitch_p:
-                    shift = np.random.randint(1, 5)
-                    zeros = np.zeros((shift, audio.shape[1]), dtype=np.float32)
-                    if np.random.random() < 0.5:
-                        audio = np.concatenate([audio[shift:, :], zeros], axis=0)
-                    else:
-                        audio = np.concatenate([zeros, audio[:-shift, :]], axis=0)
-
-                if nb is not None:  # crop to the item's length bucket
-                    audio = audio[:, : nb * self.audio_note_window_ratio]
-
-                # fp16 over the host->device link: the mel cache is fp16
-                # anyway (ref mug/util.py:143) and a batch-48 mel batch is
-                # 805 MB at fp32 — the single biggest transfer in training.
-                # DDPM.wave_output upcasts before the encoder (ddpm.py:50).
-                example["audio"] = audio.T.astype(np.float16)  # [Tmel, 128]
-
-            if self.with_feature:
-                _, feature = self.load_feature(
-                    beatmap_meta.path, objs, self.feature_dropout_p,
-                    convertor_params["rate"],
-                )
-                example["feature"] = np.asarray(feature, dtype=np.int32)
-            return example
+            return self.load_item(i, convertor_params)
         except Exception as e:  # quarantine + resample (ref :265-271)
-            if self.cache_dir is not None and path not in self.error_files:
-                error_path = os.path.join(self.cache_dir, "error.txt")
-                # re-read before appending: process-pool workers each hold
-                # a pickled dataset copy whose in-memory error_files never
-                # syncs back to the parent — without this a persistent bad
-                # file gains a duplicate line per worker per epoch
-                try:
-                    with open(error_path) as f:
-                        self.error_files.extend(
-                            ln.split(": ", 1)[0] for ln in f
-                        )
-                except OSError:
-                    pass
-                if path not in self.error_files:
-                    with open(error_path, "a+") as f:
-                        f.write(f"{path}: {e}\n")
-                    self.error_files.append(path)
+            self._record_error(self.beatmap_paths[i], e)
             return self.__getitem__(random.randint(0, len(self.beatmap_paths) - 1))
+
+    def load_item(self, i, convertor_params, forced_bucket=None):
+        """Load one example under the given augmentation params; raises on
+        bad files (callers quarantine/resample).
+
+        ``forced_bucket`` overrides the length-bucket choice (note frames).
+        Since the codec always materializes the full ``max_frame`` arrays
+        before cropping, any forced bucket yields exactly that shape — used
+        by rank-synchronized sharding, where the batch shape is planned
+        before loading and an error-substitute item must keep it (a chart
+        longer than the forced bucket is tail-cropped).
+        """
+        path = self.beatmap_paths[i]
+        objs, beatmap_meta = parse_osu_file(path, convertor_params)
+        obj_array, valid_flag = beatmap_meta.convertor.objects_to_array(
+            objs, beatmap_meta
+        )
+        nb = None  # bucketed note-frame count (None = full max_frame)
+        if self.length_buckets:
+            nb = (
+                forced_bucket
+                if forced_bucket is not None
+                else self._choose_bucket(
+                    valid_flag, convertor_params["frame_ms"]
+                )
+            )
+        example = {
+            "meta": beatmap_meta.for_batch(),
+            "convertor": convertor_params,
+            "note": obj_array.T[:nb].astype(np.float32),  # [T, 4K]
+            "valid_flag": valid_flag[:nb].astype(np.float32),
+        }
+        if self.with_audio:
+            audio = load_audio(
+                self.cache_dir, beatmap_meta.audio, self.n_mels,
+                self.audio_hop_length, self.n_fft, self.sr,
+                self.max_duration,
+            ).astype(np.float32)
+
+            if convertor_params["rate"] != 1.0:
+                t = int(round(audio.shape[1] / convertor_params["rate"]))
+                audio = _resize_audio_rate(audio, t)
+
+            t = audio.shape[1]
+            if t < self.max_audio_frame:
+                audio = np.concatenate(
+                    [
+                        audio,
+                        np.zeros(
+                            (self.n_mels, self.max_audio_frame - t),
+                            dtype=np.float32,
+                        ),
+                    ],
+                    axis=1,
+                )
+            elif t > self.max_audio_frame:
+                audio = audio[:, : self.max_audio_frame]
+
+            # zero audio beyond the chart's valid window (+2 s)
+            max_length_ms = (
+                np.sum(valid_flag) * convertor_params["frame_ms"] + 2000
+            )
+            max_valid_length = (
+                int(max_length_ms / self.audio_frame_duration / 1000) + 1
+            )
+            if max_valid_length < audio.shape[1]:
+                audio[:, max_valid_length:] = 0
+
+            if np.random.random() < self.freq_mask_p:
+                f = int(np.random.uniform(0, self.freq_mask_num))
+                f0 = random.randint(0, self.n_mels - f)
+                audio[f0 : f0 + f, :] = 0
+
+            if np.random.random() < self.pitch_p:
+                shift = np.random.randint(1, 5)
+                zeros = np.zeros((shift, audio.shape[1]), dtype=np.float32)
+                if np.random.random() < 0.5:
+                    audio = np.concatenate([audio[shift:, :], zeros], axis=0)
+                else:
+                    audio = np.concatenate([zeros, audio[:-shift, :]], axis=0)
+
+            if nb is not None:  # crop to the item's length bucket
+                audio = audio[:, : nb * self.audio_note_window_ratio]
+
+            # fp16 over the host->device link: the mel cache is fp16
+            # anyway (ref mug/util.py:143) and a batch-48 mel batch is
+            # 805 MB at fp32 — the single biggest transfer in training.
+            # DDPM.wave_output upcasts before the encoder (ddpm.py:50).
+            example["audio"] = audio.T.astype(np.float16)  # [Tmel, 128]
+
+        if self.with_feature:
+            _, feature = self.load_feature(
+                beatmap_meta.path, objs, self.feature_dropout_p,
+                convertor_params["rate"],
+            )
+            example["feature"] = np.asarray(feature, dtype=np.int32)
+        return example
+
+    def _record_error(self, path: str, e: Exception):
+        """Quarantine a bad file (ref: dataset.py:265-271)."""
+        if self.cache_dir is None or path in self.error_files:
+            return
+        error_path = os.path.join(self.cache_dir, "error.txt")
+        # re-read before appending: process-pool workers each hold
+        # a pickled dataset copy whose in-memory error_files never
+        # syncs back to the parent — without this a persistent bad
+        # file gains a duplicate line per worker per epoch
+        try:
+            with open(error_path) as f:
+                self.error_files.extend(
+                    ln.split(": ", 1)[0] for ln in f
+                )
+        except OSError:
+            pass
+        if path not in self.error_files:
+            with open(error_path, "a+") as f:
+                f.write(f"{path}: {e}\n")
+            self.error_files.append(path)
+
+    # ---------------------- rank-synchronized bucketed loading (SPMD)
+
+    def probe_bucket(self, i: int, convertor_params: dict) -> int:
+        """Length bucket an item lands in under the given augmentation
+        params — a parse-only pre-pass (no audio decode, no features), so
+        every SPMD rank can cheaply derive the full epoch's bucket plan."""
+        objs, meta = parse_osu_file(self.beatmap_paths[i], convertor_params)
+        _, valid_flag = meta.convertor.objects_to_array(objs, meta)
+        return self._choose_bucket(valid_flag, convertor_params["frame_ms"])
+
+    def plan_item(self, i: int, epoch_seed: int, max_resample: int = 20):
+        """Deterministic (index, convertor_params, bucket) plan for one
+        item. Augmentations and error-resampling both draw from a
+        per-(epoch_seed, index) Generator, so every rank computes the
+        IDENTICAL plan — the foundation of rank-synchronized bucket
+        batching (unequal per-rank batch structures would deadlock the
+        collectives inside the jitted step)."""
+        rng = np.random.default_rng((int(epoch_seed), int(i)))
+        j = int(i)
+        for _ in range(max_resample):
+            params = self.draw_convertor_params(rng)
+            try:
+                return j, params, self.probe_bucket(j, params)
+            except Exception as e:
+                self._record_error(self.beatmap_paths[j], e)
+                j = int(rng.integers(0, len(self.beatmap_paths)))
+        raise RuntimeError(
+            f"plan_item: {max_resample} consecutive unparseable files"
+        )
+
+    def load_planned(self, plan, epoch_seed: int, max_resample: int = 20):
+        """Load a planned item, preserving its planned bucket shape. A
+        load-time failure the parse probe could not see (audio decode,
+        missing feature.db row) substitutes a deterministic replacement
+        item FORCED into the same bucket — content changes, the batch
+        structure every other rank planned does not."""
+        j, params, bucket = plan
+        rng = np.random.default_rng((int(epoch_seed), int(j), 1))
+        for _ in range(max_resample):
+            try:
+                return self.load_item(j, params, forced_bucket=bucket)
+            except Exception as e:
+                self._record_error(self.beatmap_paths[j], e)
+                j = int(rng.integers(0, len(self.beatmap_paths)))
+                params = self.draw_convertor_params(rng)
+        raise RuntimeError(
+            f"load_planned: {max_resample} consecutive bad files"
+        )
 
 
 class OsuTrainDataset(OsuDataset):
@@ -425,6 +511,16 @@ def _worker_getitem(i):
     return _WORKER_DS[i]
 
 
+def _worker_plan(args):
+    i, epoch_seed = args
+    return _WORKER_DS.plan_item(i, epoch_seed)
+
+
+def _worker_load_planned(args):
+    plan, epoch_seed = args
+    return _WORKER_DS.load_planned(plan, epoch_seed)
+
+
 class Loader:
     """Prefetch loader (replaces torch DataLoader workers, ref config
     num_workers: 7).
@@ -461,14 +557,6 @@ class Loader:
         if not (0 <= shard_index < num_shards):
             raise ValueError(f"shard_index {shard_index} not in "
                              f"[0, {num_shards})")
-        if num_shards > 1 and getattr(dataset, "length_buckets", None):
-            # bucketed batch composition diverges per shard (different
-            # bucket mixes -> different batch counts -> collective
-            # deadlock); rank-synchronized bucketing is future work
-            raise NotImplementedError(
-                "length_buckets + multi-process sharding need rank-"
-                "synchronized bucket batches; shard without buckets"
-            )
         self.num_shards = num_shards
         self.shard_index = shard_index
         # equal-token-budget batching: a bucket at half the max length gets
@@ -526,10 +614,21 @@ class Loader:
 
     def __iter__(self) -> Iterator[dict]:
         order = np.arange(len(self.dataset))
+        epoch_seed = self.seed + self.epoch
         if self.shuffle:
-            rng = np.random.default_rng(self.seed + self.epoch)
+            rng = np.random.default_rng(epoch_seed)
             rng.shuffle(order)
         self.epoch += 1
+
+        if self.num_shards > 1 and getattr(
+            self.dataset, "length_buckets", None
+        ):
+            # rank-synchronized bucketing works on the GLOBAL order: every
+            # rank plans the identical batch structure, then loads only its
+            # own slice of each global batch
+            yield from self._iter_bucketed_sharded(order, epoch_seed)
+            return
+
         if self.num_shards > 1:
             # same permutation on every rank (seed + epoch), disjoint
             # strides, truncated to equal length
@@ -615,3 +714,89 @@ class Loader:
             if len(chunk) < merged_bs and self.drop_last:
                 return
             yield collate(chunk)
+
+    def _iter_bucketed_sharded(self, order, epoch_seed: int) -> Iterator[dict]:
+        """Rank-synchronized bucket batching for multi-process SPMD.
+
+        Every rank runs the identical three stages over the identical
+        global ``order``:
+
+        1. PLAN — a parse-only pre-pass derives each item's augmentation
+           params and length bucket from a per-(epoch_seed, index) RNG
+           (``OsuDataset.plan_item``); no audio decode, so it is cheap and
+           bit-identical across ranks.
+        2. COMPOSE — group plans into GLOBAL batches of
+           ``per_rank_batch(bucket) * num_shards`` in stream order;
+           epoch-end leftovers merge under the largest leftover bucket
+           (forced-bucket loading reuses the codec's full-length arrays, so
+           no post-hoc padding is needed).
+        3. LOAD — each rank loads only its contiguous slice of every
+           global batch (audio + features), two batches in flight.
+
+        Batch count, bucket-shape sequence, and per-rank batch size are
+        equal on every rank by construction, keeping the jitted step's
+        collectives in lockstep (the reference's DistributedSampler
+        equivalent, ref main.py:536-537, generalized to bucketed shapes).
+        With ``drop_last=False`` an uneven final global batch is truncated
+        to a multiple of ``num_shards`` (dropping at most num_shards-1
+        items) — collectives require equal per-rank batches.
+        """
+        from collections import defaultdict
+
+        n = self.num_shards
+        pool, _ = self._pool_and_fetch()
+        with pool:
+            if self.worker_type == "process":
+                plans = list(pool.map(
+                    _worker_plan,
+                    [(int(i), epoch_seed) for i in order],
+                    chunksize=32,
+                ))
+            else:
+                plans = list(pool.map(
+                    lambda i: self.dataset.plan_item(int(i), epoch_seed),
+                    order,
+                ))
+
+            by_bucket: dict = defaultdict(list)
+            gbatches = []  # (bucket, [plan, ...]) in stream order
+            for plan in plans:
+                b = plan[2]
+                by_bucket[b].append(plan)
+                if len(by_bucket[b]) >= self._bucket_batch(b) * n:
+                    gbatches.append((b, by_bucket.pop(b)))
+            rest = [p for b in sorted(by_bucket) for p in by_bucket[b]]
+            if rest:
+                target = max(p[2] for p in rest)
+                rest = [(j, params, target) for (j, params, _) in rest]
+                gb = self._bucket_batch(target) * n
+                for s in range(0, len(rest), gb):
+                    chunk = rest[s : s + gb]
+                    if len(chunk) < gb:
+                        if self.drop_last:
+                            break
+                        chunk = chunk[: (len(chunk) // n) * n]
+                        if not chunk:
+                            break
+                    gbatches.append((target, chunk))
+
+            def submit(chunk):
+                pb = len(chunk) // n
+                mine = chunk[self.shard_index * pb:(self.shard_index + 1) * pb]
+                if self.worker_type == "process":
+                    return [
+                        pool.submit(_worker_load_planned, (p, epoch_seed))
+                        for p in mine
+                    ]
+                return [
+                    pool.submit(self.dataset.load_planned, p, epoch_seed)
+                    for p in mine
+                ]
+
+            pending = []
+            for _, chunk in gbatches:
+                pending.append(submit(chunk))
+                if len(pending) >= 2:
+                    yield collate([f.result() for f in pending.pop(0)])
+            for futs in pending:
+                yield collate([f.result() for f in futs])

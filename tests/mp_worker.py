@@ -160,6 +160,74 @@ def run_trainer(jax, process_id: int, outdir: str):
     print(f"mp_worker {process_id}: TRAINER OK", flush=True)
 
 
+def run_trainer_bucketed(jax, process_id: int, outdir: str):
+    """Rank-synchronized bucketed loading through an unmodified 2-process
+    Trainer.fit: each rank's Loader plans the identical global batch
+    structure (same bucket-shape sequence -> same AOT signatures ->
+    lockstep _mp_ready barriers) and loads only its own slice of every
+    global batch. The pytest driver pre-writes the dataset."""
+    import json
+
+    # tests/ is sys.path[0] when run as a script: reuse the proven
+    # Trainer-on-real-data tiny config (8 wave levels <-> ratio-8 datasets)
+    import test_training
+
+    from mug_diffusion_tpu.data.dataset import Loader, OsuTrainDataset
+    from mug_diffusion_tpu.parallel.mesh import create_mesh
+    from mug_diffusion_tpu.training.tasks import DiffusionTask
+    from mug_diffusion_tpu.training.trainer import Trainer
+
+    mesh = create_mesh()
+    ds = OsuTrainDataset(
+        txt_file=[os.path.join(outdir, "beatmap.txt")], sr=22050, n_fft=512,
+        max_audio_frame=2048, audio_note_window_ratio=8, n_mels=16,
+        with_feature=True, feature_yaml=test_training.SCHEMA,
+        cache_dir=os.path.join(outdir, f"cache{process_id}"),
+        with_audio=True, length_buckets=[64, 128, 256],
+    )
+    loader = Loader(
+        ds, batch_size=1, shuffle=True, num_workers=2, seed=5,
+        drop_last=True, num_shards=jax.process_count(),
+        shard_index=jax.process_index(),
+    )
+
+    seen = []  # (bucket shape, paths) per step, dumped for the driver
+    orig_iter = loader.__class__.__iter__
+
+    def spying_iter(self):
+        for batch in orig_iter(self):
+            seen.append([
+                list(batch["note"].shape),
+                sorted(m["path"] for m in batch["meta"]),
+            ])
+            yield batch
+
+    loader.__class__ = type("SpyLoader", (Loader,), {"__iter__": spying_iter})
+
+    class BucketedStub:
+        datasets = {"train": ds}
+
+        def train_dataloader(self):
+            return loader
+
+    trainer = Trainer(
+        DiffusionTask(test_training._tiny_model_config()),
+        logdir=os.path.join(outdir, "run_bucketed"),
+        base_learning_rate=1e-4, batch_size=1, mesh=mesh, scale_lr=False,
+        max_epochs=1, log_every_n_steps=1, save_top_k=0,
+        ckpt_every_n_steps=None,
+    )
+    trainer.setup(batch_spec={"batch": 1, "z_length": 8, "n_mels": 16})
+    trainer.fit(BucketedStub())
+    # 6 items / global batch 2: one full batch per bucket + merged leftovers
+    assert trainer.global_step == 3, trainer.global_step
+    assert len(trainer._mp_exec) == 2, list(trainer._mp_exec)  # 2 shapes
+    with open(os.path.join(outdir, f"bucketed_{process_id}.json"), "w") as f:
+        json.dump(seen, f)
+    print(f"mp_worker {process_id}: BUCKETED OK steps={trainer.global_step}",
+          flush=True)
+
+
 def run_cli(jax, process_id: int, port: int, outdir: str):
     """The FULL CLI under 2 processes: ``main.py -b cfg -t --distributed``
     — env-configured jax.distributed.initialize, rank-0 run-name
@@ -205,6 +273,10 @@ def main(process_id: int, port: int, outdir: str, mode: str = "step"):
 
     if mode == "trainer":
         run_trainer(jax, process_id, outdir)
+        return
+
+    if mode == "bucketed":
+        run_trainer_bucketed(jax, process_id, outdir)
         return
 
     import numpy as np

@@ -258,3 +258,125 @@ def test_loader_rejects_unknown_worker_type(bucket_dataset):
     with pytest.raises(ValueError):
         Loader(bucket_dataset(), batch_size=2, shuffle=False,
                worker_type="greenlet")
+
+
+# ---------------------- rank-synchronized bucket sharding (multi-process)
+
+
+def _rank_loaders(make_ds, n=2, **kw):
+    return [
+        Loader(make_ds(), num_shards=n, shard_index=r, **kw) for r in range(n)
+    ]
+
+
+def _batch_paths(batches):
+    return [m["path"] for b in batches for m in b["meta"]]
+
+
+def test_rank_synchronized_bucket_sharding(bucket_dataset):
+    """Two ranks over a bucketed dataset yield the SAME batch count and the
+    SAME bucket-shape sequence (collective lockstep), with disjoint items
+    covering the whole epoch."""
+    l0, l1 = _rank_loaders(bucket_dataset, batch_size=1, shuffle=True,
+                           num_workers=2, seed=7, drop_last=True)
+    b0, b1 = list(l0), list(l1)
+    assert len(b0) == len(b1) > 0
+    for a, b in zip(b0, b1):
+        assert a["note"].shape == b["note"].shape
+        assert a["audio"].shape == b["audio"].shape
+        assert a["note"].shape[1] in BUCKETS
+    p0, p1 = _batch_paths(b0), _batch_paths(b1)
+    assert not (set(p0) & set(p1))        # disjoint across ranks
+    assert len(set(p0) | set(p1)) == 6    # full epoch coverage
+    # deterministic: a fresh rank-0 loader replays the identical structure
+    l0b = Loader(bucket_dataset(), num_shards=2, shard_index=0, batch_size=1,
+                 shuffle=True, num_workers=2, seed=7, drop_last=True)
+    assert [b["note"].shape for b in l0b] == [b["note"].shape for b in b0]
+    # ranks stay in lockstep on the next epoch too (fresh permutation)
+    e0 = [b["note"].shape for b in l0]
+    e1 = [b["note"].shape for b in l1]
+    assert e0 == e1
+
+
+def test_rank_synchronized_token_budget_batches(bucket_dataset):
+    """scale_batch_by_bucket composes global batches of
+    per_rank_batch(bucket) * num_shards; ranks still agree exactly."""
+    l0, l1 = _rank_loaders(bucket_dataset, batch_size=1, shuffle=False,
+                           num_workers=2, drop_last=False,
+                           scale_batch_by_bucket=True)
+    b0, b1 = list(l0), list(l1)
+    assert [b["note"].shape for b in b0] == [b["note"].shape for b in b1]
+    assert not (set(_batch_paths(b0)) & set(_batch_paths(b1)))
+
+
+def test_rank_synchronized_sharding_survives_bad_files(bucket_dataset,
+                                                       tmp_path):
+    """Bad items must not desynchronize ranks: a plan-time failure (missing
+    .osu) resamples deterministically from the per-(epoch, index) RNG; a
+    load-time failure the probe can't see (deleted audio) substitutes a
+    replacement FORCED into the planned bucket. Both ranks still derive the
+    identical batch structure; the files are quarantined."""
+    import shutil
+
+    td = str(tmp_path / "badset")
+    os.makedirs(td)
+    ds_probe = bucket_dataset()
+    new_paths = []
+    for p in ds_probe.beatmap_paths:
+        dst_dir = os.path.join(td, os.path.basename(os.path.dirname(p)))
+        shutil.copytree(os.path.dirname(p), dst_dir, dirs_exist_ok=True)
+        new_paths.append(os.path.join(dst_dir, os.path.basename(p)))
+    # load-time failure: chart parses, audio is gone
+    audio_gone = new_paths[0]
+    meta_dir = os.path.dirname(audio_gone)
+    for f in os.listdir(meta_dir):
+        if f.endswith((".wav", ".mp3", ".ogg")):
+            os.remove(os.path.join(meta_dir, f))
+    # plan-time failure: path in beatmap.txt doesn't exist
+    missing = os.path.join(td, "nope", "missing.osu")
+    txt = os.path.join(td, "beatmap.txt")
+    with open(txt, "w") as f:
+        f.writelines(p + "\n" for p in new_paths + [missing])
+
+    def make():
+        return OsuDataset(
+            txt_file=[txt], sr=22050, n_fft=512, max_audio_frame=2048,
+            audio_note_window_ratio=8, n_mels=16,
+            cache_dir=os.path.join(td, "cache"), with_audio=True,
+            length_buckets=BUCKETS,
+        )
+
+    l0, l1 = _rank_loaders(make, batch_size=1, shuffle=True, num_workers=2,
+                           seed=3, drop_last=True)
+    b0, b1 = list(l0), list(l1)
+    assert len(b0) == len(b1) > 0
+    assert [b["note"].shape for b in b0] == [b["note"].shape for b in b1]
+    err = os.path.join(td, "cache", "error.txt")
+    assert os.path.isfile(err)
+    with open(err) as f:
+        content = f.read()
+    assert missing in content  # plan-time quarantine
+    assert audio_gone in content  # load-time quarantine
+
+
+def test_forced_bucket_load_shape(bucket_dataset):
+    """load_item with a forced bucket always yields exactly that shape —
+    larger (pad semantics via full-length arrays) and smaller (tail crop)
+    than the natural bucket."""
+    ds = bucket_dataset()
+    params = ds.draw_convertor_params(np.random.default_rng(0))
+    natural = ds.probe_bucket(0, params)
+    for forced in BUCKETS:
+        ex = ds.load_item(0, params, forced_bucket=forced)
+        assert ex["note"].shape[0] == forced
+        assert ex["audio"].shape[0] == forced * 8
+    assert natural in BUCKETS
+
+
+def test_plan_item_deterministic(bucket_dataset):
+    ds = bucket_dataset()
+    a = ds.plan_item(2, epoch_seed=11)
+    b = ds.plan_item(2, epoch_seed=11)
+    assert a[0] == b[0] and a[2] == b[2] and a[1] == b[1]
+    c = ds.plan_item(2, epoch_seed=12)
+    assert c[2] in BUCKETS

@@ -123,12 +123,24 @@ def test_sharded_loaders_are_disjoint_and_equal_length(flat_dataset):
     assert seen[0] and seen[1] and not (seen[0] & seen[1])
 
 
-def test_sharding_rejects_bucketed_datasets(flat_dataset):
+def test_sharding_supports_bucketed_datasets(flat_dataset):
+    """Bucketed datasets shard via rank-synchronized planning (see
+    tests/test_buckets.py for the full structural-lockstep suite): equal
+    batch counts, identical bucket shapes, disjoint items."""
     from mug_diffusion_tpu.data.dataset import Loader
 
-    ds = flat_dataset(length_buckets=[32, 64])
-    with pytest.raises(NotImplementedError):
-        Loader(ds, batch_size=2, shuffle=False, num_shards=2, shard_index=0)
+    loaders = [
+        Loader(flat_dataset(length_buckets=[32, 64]), batch_size=2,
+               shuffle=False, num_workers=2, num_shards=2, shard_index=i)
+        for i in (0, 1)
+    ]
+    b0, b1 = list(loaders[0]), list(loaders[1])
+    assert len(b0) == len(b1) > 0
+    assert [b["note"].shape for b in b0] == [b["note"].shape for b in b1]
+    seen = [
+        {m["path"] for b in bs for m in b["meta"]} for bs in (b0, b1)
+    ]
+    assert seen[0] and seen[1] and not (seen[0] & seen[1])
 
 
 def test_shard_index_bounds(flat_dataset):
@@ -252,3 +264,63 @@ def test_two_process_cli_distributed(tmp_path):
         assert line, out[-2000:]
         logdirs.add(line[0].split("logdir=")[1])
     assert len(logdirs) == 1  # rank 0's broadcast run name won on both
+
+
+def test_two_process_trainer_fit_bucketed(tmp_path):
+    """Bucketed (length_buckets) loading under REAL 2-process SPMD through
+    an unmodified Trainer.fit: rank-synchronized planning gives both ranks
+    the identical bucket-shape sequence (lockstep _mp_ready AOT barriers,
+    two compiled signatures), disjoint item slices, equal step counts."""
+    import json
+    import sqlite3
+
+    from scripts.make_synthetic_dataset import write_set
+    from scripts.prepare_beatmap_features import prepare_features
+    from test_training import SCHEMA
+
+    paths = []
+    for i, dur in enumerate([2.0, 2.0, 2.0, 8.0, 8.0, 8.0]):
+        paths.append(write_set(str(tmp_path), f"s{i}", dur, 180.0, seed=i))
+    txt = str(tmp_path / "beatmap.txt")
+    with open(txt, "w") as f:
+        f.writelines(p + "\n" for p in paths)
+    prepare_features(txt, SCHEMA, osu_tools=None)
+    conn = sqlite3.connect(str(tmp_path / "feature.db"))
+    conn.execute("UPDATE Feature SET sr = 3.5")  # osu-tools stand-in
+    conn.commit()
+    conn.close()
+
+    worker = os.path.join(os.path.dirname(__file__), "mp_worker.py")
+    port = _free_port()
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(i), str(port), str(tmp_path),
+             "bucketed"],
+            env=dict(os.environ), stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT, text=True,
+        )
+        for i in (0, 1)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=900)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {i} failed:\n{out[-4000:]}"
+        assert f"mp_worker {i}: BUCKETED OK" in out
+
+    logs = [
+        json.load(open(tmp_path / f"bucketed_{i}.json")) for i in (0, 1)
+    ]
+    assert len(logs[0]) == len(logs[1]) == 3
+    # identical per-step bucket shapes on both ranks...
+    assert [s for s, _ in logs[0]] == [s for s, _ in logs[1]]
+    # ...over disjoint item slices covering the whole epoch
+    seen = [set(p for _, ps in lg for p in ps) for lg in logs]
+    assert not (seen[0] & seen[1])
+    assert len(seen[0] | seen[1]) == 6
