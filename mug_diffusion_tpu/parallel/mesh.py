@@ -27,26 +27,71 @@ def create_mesh(
     n_devices: Optional[int] = None,
     axes: Sequence[str] = ("data",),
     shape: Optional[Sequence[int]] = None,
+    dcn_slices: Optional[int] = None,
 ) -> Mesh:
     """Build a mesh over the available devices.
 
     Default: all devices on one ``data`` axis (pure DP). Pass
     ``axes=('data', 'model')`` with an explicit ``shape`` for hybrid
     layouts.
+
+    ``dcn_slices`` builds a MULTI-SLICE mesh: an outer ``replica`` axis
+    over the DCN (one row per slice) ahead of the ICI ``axes`` within each
+    slice. Batch sharding spans ('replica', *data*) so the gradient
+    all-reduce decomposes hierarchically — reduce-scatter/all-gather over
+    ICI inside each slice, one small cross-slice sum over DCN (the
+    scaling-book data-parallel-over-DCN recipe). On real multi-slice TPU
+    the per-slice grouping follows each device's ``slice_index``; on
+    single-slice or virtual (CPU) devices it falls back to a deterministic
+    enumeration split, which exercises identical shardings/collectives.
     """
     devices = jax.devices()
     if n_devices is not None:
         devices = devices[:n_devices]
     n = len(devices)
+    if dcn_slices is None:
+        if shape is None:
+            shape = (n,) + (1,) * (len(axes) - 1)
+        assert int(np.prod(shape)) == n, f"mesh shape {shape} != {n} devices"
+        return Mesh(np.asarray(devices).reshape(shape), axes)
+
+    assert n % dcn_slices == 0, f"{n} devices over {dcn_slices} slices"
+    per_slice = n // dcn_slices
     if shape is None:
-        shape = (n,) + (1,) * (len(axes) - 1)
-    assert int(np.prod(shape)) == n, f"mesh shape {shape} != {n} devices"
-    dev_array = np.asarray(devices).reshape(shape)
-    return Mesh(dev_array, axes)
+        shape = (per_slice,) + (1,) * (len(axes) - 1)
+    assert int(np.prod(shape)) == per_slice, (
+        f"per-slice mesh shape {shape} != {per_slice} devices"
+    )
+    slice_ids = {getattr(d, "slice_index", None) for d in devices}
+    if None not in slice_ids and len(slice_ids) == dcn_slices:
+        # real multi-slice topology: honor the physical slice assignment
+        from jax.experimental import mesh_utils
+
+        dev_array = mesh_utils.create_hybrid_device_mesh(
+            (1,) + tuple(shape),
+            (dcn_slices,) + (1,) * len(shape),
+            devices,
+        )
+    else:
+        dev_array = np.asarray(devices).reshape((dcn_slices,) + tuple(shape))
+    return Mesh(dev_array, ("replica",) + tuple(axes))
 
 
-def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
-    """Shard dim 0 (batch) over the data axis."""
+# mesh axes a batch's leading dim shards over (outer DCN replica axis
+# first when present, then the ICI data axis)
+BATCH_AXES = ("replica", "data")
+
+
+def _batch_axis_names(mesh: Mesh):
+    axes = tuple(a for a in mesh.axis_names if a in BATCH_AXES)
+    return axes if axes else ("data",)
+
+
+def batch_sharding(mesh: Mesh, axis=None) -> NamedSharding:
+    """Shard dim 0 (batch) over the data axis — and, on a multi-slice
+    mesh, over ('replica', 'data') jointly."""
+    if axis is None:
+        axis = _batch_axis_names(mesh)
     return NamedSharding(mesh, P(axis))
 
 
@@ -54,14 +99,14 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(batch: Dict, mesh: Mesh, axis: str = "data") -> Dict:
+def shard_batch(batch: Dict, mesh: Mesh, axis=None) -> Dict:
     """Place a host batch onto the mesh, sharded over the batch dim.
 
     Works both single-process (device_put) and multi-process
     (make_array_from_process_local_data) — the JAX equivalent of
     per-rank DataLoader shards under DDP.
     """
-    sharding = batch_sharding(mesh, axis)
+    sharding = batch_sharding(mesh, axis)  # multi-slice aware default
 
     def put(x):
         if jax.process_count() > 1:

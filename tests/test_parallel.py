@@ -462,3 +462,62 @@ def test_tensor_parallel_step_matches_single_device():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-4
         )
+
+
+def test_multislice_hybrid_mesh_layout():
+    """dcn_slices builds an outer 'replica' axis over slices ahead of the
+    ICI axes; batch sharding spans (replica, data) jointly so the gradient
+    all-reduce decomposes into intra-slice ICI + one cross-slice DCN sum
+    (the scaling-book DP-over-DCN recipe). Virtual CPU devices exercise
+    identical shardings/collectives via the enumeration fallback."""
+    from jax.sharding import PartitionSpec as P
+
+    mesh = create_mesh(n_devices=8, dcn_slices=2)
+    assert mesh.axis_names == ("replica", "data")
+    assert mesh.devices.shape == (2, 4)
+    assert batch_sharding(mesh).spec == P(("replica", "data"))
+
+    # hybrid with a model axis inside each slice
+    mesh3 = create_mesh(
+        n_devices=8, axes=("data", "model"), shape=(2, 2), dcn_slices=2
+    )
+    assert mesh3.axis_names == ("replica", "data", "model")
+    assert mesh3.devices.shape == (2, 2, 2)
+    assert batch_sharding(mesh3).spec == P(("replica", "data"))
+
+    # every device holds exactly B/8 rows of a (replica, data)-sharded batch
+    batch = {"x": np.arange(64, dtype=np.float32).reshape(16, 4)}
+    dev = shard_batch(batch, mesh)
+    shard_rows = {s.data.shape[0] for s in dev["x"].addressable_shards}
+    assert shard_rows == {2}
+    np.testing.assert_array_equal(np.asarray(dev["x"]), batch["x"])
+
+
+def test_multislice_train_step_matches_single_device():
+    """A jitted SGD step over the 2x4 (replica, data) hybrid mesh must
+    produce the same updated weights as the unsharded step — the mean
+    gradient psum spans both mesh axes."""
+    k = jax.random.PRNGKey
+    w = jax.random.normal(k(0), (4, 4))
+    x = jax.random.normal(k(1), (16, 4))
+    y = jax.random.normal(k(2), (16, 4))
+
+    def step(w, x, y):
+        def loss_fn(w):
+            return jnp.mean((x @ w - y) ** 2)
+
+        loss, g = jax.value_and_grad(loss_fn)(w)
+        return w - 0.1 * g, loss
+
+    w1, loss1 = jax.jit(step)(w, x, y)
+
+    mesh = create_mesh(n_devices=8, dcn_slices=2)
+    rep, data = replicated_sharding(mesh), batch_sharding(mesh)
+    step_h = jax.jit(step, in_shardings=(rep, data, data),
+                     out_shardings=(rep, rep))
+    xs = shard_batch({"x": np.asarray(x), "y": np.asarray(y)}, mesh)
+    w2, loss2 = step_h(jax.device_put(w, rep), xs["x"], xs["y"])
+
+    assert np.allclose(float(loss1), float(loss2), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(w1), np.asarray(w2),
+                               atol=1e-6, rtol=1e-6)
