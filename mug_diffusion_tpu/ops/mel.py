@@ -323,5 +323,18 @@ def load_audio(
         audio_path, n_mels, audio_hop_length, n_fft, sr, max_duration, max_frames
     )
     os.makedirs(cache_dir, exist_ok=True)
-    np.savez_compressed(cache_path, y=y)
+    # atomic publish: loader worker threads, worker processes, and (under
+    # multi-process SPMD) other ranks may share cache_dir — a reader hitting
+    # a half-written npz would quarantine a perfectly good chart
+    # keep the .npz suffix: np.savez would silently append it otherwise
+    tmp_path = f"{cache_path[:-4]}.{os.getpid()}.tmp.npz"
+    try:
+        np.savez_compressed(tmp_path, y=y)
+        os.replace(tmp_path, cache_path)
+    finally:
+        if os.path.exists(tmp_path):
+            try:
+                os.remove(tmp_path)
+            except OSError:
+                pass
     return y

@@ -114,6 +114,7 @@ class Trainer:
         wandb_project: str = "mug-diffusion-tpu",
         profile_dir: Optional[str] = None,
         profile_steps: tuple = (10, 15),
+        async_checkpoint: bool = False,
     ):
         self.task = task
         self.logdir = logdir
@@ -140,6 +141,12 @@ class Trainer:
         self.save_last_every_n_epochs = max(1, save_last_every_n_epochs)
         self.ckpt_every_n_steps = ckpt_every_n_steps
         self.save_top_k = save_top_k
+        # async checkpointing overlaps the orbax write with training; the
+        # device->host snapshot stays synchronous (donation-safe). Single-
+        # process only: a write thread's timing skew across ranks could
+        # stall orbax's coordination barriers.
+        self.async_checkpoint = async_checkpoint and jax.process_count() == 1
+        self._ckpt_thread = None
         self.callbacks = callbacks or []
         self.log_every_n_steps = log_every_n_steps
         # rank-zero-only side effects under multi-process SPMD: all ranks
@@ -454,6 +461,7 @@ class Trainer:
             self.save_checkpoint("on_exception", collective=False)
             raise
         finally:
+            self.flush_checkpoint_writes()
             signal.signal(signal.SIGUSR1, old_usr1)
             signal.signal(signal.SIGTERM, old_term)
 
@@ -698,8 +706,26 @@ class Trainer:
         if not weights_only and self.opt_state is not None:
             # opt_state stored separately to keep partial restores simple
             payload["opt_state"] = jax.device_get(self.opt_state)
-        ckpt_utils.save_checkpoint(path, payload)
+        # emergency paths (collective=False) must land before the process
+        # can die -> always synchronous
+        if self.async_checkpoint and collective:
+            import threading
+
+            self.flush_checkpoint_writes()  # serialize: one write in flight
+            self._ckpt_thread = threading.Thread(
+                target=ckpt_utils.save_checkpoint, args=(path, payload),
+                daemon=True, name="ckpt-writer",
+            )
+            self._ckpt_thread.start()
+        else:
+            ckpt_utils.save_checkpoint(path, payload)
         return path
+
+    def flush_checkpoint_writes(self):
+        """Block until the pending async checkpoint write (if any) lands."""
+        if self._ckpt_thread is not None:
+            self._ckpt_thread.join()
+            self._ckpt_thread = None
 
     def maybe_save_topk(self, monitor_value):
         if monitor_value is None:
@@ -709,6 +735,10 @@ class Trainer:
         )
         self._top_k.append((monitor_value, path))
         self._top_k.sort(key=lambda x: x[0])
+        if len(self._top_k) > self.save_top_k:
+            # never rmtree a directory a pending async write may still be
+            # filling (the evicted one could be the save just dispatched)
+            self.flush_checkpoint_writes()
         while len(self._top_k) > self.save_top_k:
             _, worst = self._top_k.pop()
             if self.is_main_process:  # peers would race the delete

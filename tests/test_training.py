@@ -486,3 +486,32 @@ def test_sigterm_preemption_saves_and_exits_cleanly(tmp_path):
     assert trainer.global_step > 0
     assert os.path.isdir(os.path.join(str(tmp_path / "run"),
                                       "checkpoints", "last"))
+
+
+def test_async_checkpoint_saves_and_flushes(tmp_path):
+    """async_checkpoint=True: the orbax write runs on a background thread
+    (device->host snapshot already taken, so later param mutations don't
+    leak into the pending write); writes serialize; flush lands them."""
+    from mug_diffusion_tpu.parallel.mesh import create_mesh
+    from mug_diffusion_tpu.training.trainer import Trainer
+    from mug_diffusion_tpu.utils.checkpoint import load_checkpoint
+
+    tr = Trainer(
+        task=object(), logdir=str(tmp_path), base_learning_rate=1e-4,
+        batch_size=1, mesh=create_mesh(n_devices=1), scale_lr=False,
+        async_checkpoint=True,
+    )
+    assert tr.async_checkpoint  # single-process: stays enabled
+    tr.params = {"params": {"w": np.ones((4,), np.float32)}}
+    tr.opt_state = None
+    tr.global_step = 7
+    p1 = tr.save_checkpoint("last")
+    # snapshot isolation: mutate immediately after dispatch
+    tr.params = {"params": {"w": 2 * np.ones((4,), np.float32)}}
+    tr.global_step = 8
+    p2 = tr.save_checkpoint("best")  # serializes behind the first
+    tr.flush_checkpoint_writes()
+    assert tr._ckpt_thread is None
+    r1, r2 = load_checkpoint(p1), load_checkpoint(p2)
+    assert r1["step"] == 7 and float(r1["params"]["w"][0]) == 1.0
+    assert r2["step"] == 8 and float(r2["params"]["w"][0]) == 2.0
