@@ -49,6 +49,11 @@ def get_parser():
     p.add_argument("-l", "--logdir", type=str, default="logs")
     p.add_argument("--devices", type=int, default=None,
                    help="number of devices for the data mesh")
+    p.add_argument("--dcn_slices", type=int, default=None,
+                   help="multi-slice TPU: number of slices; builds a "
+                        "(replica, data) hybrid mesh — batch shards over "
+                        "both axes, gradient reduce runs ICI-first then "
+                        "one cross-slice DCN sum")
     p.add_argument("--distributed", action="store_true",
                    help="multi-host SPMD: jax.distributed.initialize() "
                         "from the cluster environment (TPU pods "
@@ -152,7 +157,7 @@ def main(argv=None):
             callbacks.append(instantiate_from_config(cb_cfg))
 
     trainer_cfg = lightning_config.get("trainer", {})
-    mesh = create_mesh(n_devices=opt.devices)
+    mesh = create_mesh(n_devices=opt.devices, dcn_slices=opt.dcn_slices)
     trainer = Trainer(
         task=task,
         logdir=logdir,
@@ -164,6 +169,7 @@ def main(argv=None):
             "save_last_every_n_epochs", 1
         ),
         ckpt_every_n_steps=trainer_cfg.get("ckpt_every_n_steps", 10000),
+        async_checkpoint=trainer_cfg.get("async_checkpoint", False),
         log_every_n_steps=trainer_cfg.get("log_every_n_steps", 50),
         max_epochs=opt.max_epochs,
         max_steps=opt.max_steps,
