@@ -138,7 +138,7 @@ class GenerationPipeline:
 
     def _fused(self, count: int, z_length: int, use_cfg: bool = True,
                use_mask: bool = False, input_kind: str = "mel",
-               mel_frames: Optional[int] = None):
+               mel_frames: Optional[int] = None, solver: str = "ddim"):
         """Cached fused single-dispatch generator per request STRUCTURE.
 
         Steps, eta and guidance scale are traced arguments of the returned
@@ -152,7 +152,7 @@ class GenerationPipeline:
 
         mesh = self._mesh_for(count)
         key = (count, z_length, use_cfg, use_mask, input_kind,
-               mesh is not None)
+               mesh is not None, solver)
         if key not in self._fused_cache:
             ratio = self.max_audio_frame // self.model.z_length
             self._fused_cache[key] = build_fused_generate(
@@ -165,6 +165,7 @@ class GenerationPipeline:
                 mesh=mesh,
                 shard_wave_time=mesh is not None
                 and input_kind != "mel_batch",
+                solver=solver,
             )
         return self._fused_cache[key]
 
@@ -261,6 +262,7 @@ class GenerationPipeline:
         x0=None,
         inpaint_from: Optional[str] = None,
         inpaint_keep_ms: Optional[Sequence] = None,
+        solver: str = "ddim",
     ):
         """Returns (decoded_note_arrays [count, 4K, T] np, z_length).
 
@@ -291,6 +293,7 @@ class GenerationPipeline:
 
         decoded = self._fused(
             n, z_length, use_cfg=(scale != 1.0), use_mask=use_mask,
+            solver=solver,
         )(
             self.params, jnp.asarray(mel), feature, uc_feature,
             jax.random.PRNGKey(seed), scale, steps, eta,

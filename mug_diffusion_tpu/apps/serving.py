@@ -56,6 +56,7 @@ def build_fused_generate(
     data_axis: str = "data",
     shard_wave_time: bool = False,
     param_shardings=None,
+    solver: str = "ddim",
 ):
     """Returns jitted ``generate(params, wave_samples, feature, uc_feature,
     rng) -> decoded [count, z_length*8, 16]``.
@@ -96,9 +97,19 @@ def build_fused_generate(
     """
     mel_frames = mel_frames or z_length * 64
     dynamic = steps is None
+    if solver not in ("ddim", "dpmpp"):
+        raise ValueError(f"unknown solver {solver!r} (ddim|dpmpp)")
+    if solver == "dpmpp" and not dynamic:
+        raise ValueError("solver='dpmpp' requires dynamic steps (steps=None)")
     if dynamic:
         # full-length schedule constants; steps/eta are call-time scalars
         full_tables = make_dynamic_schedule_tables(ddpm.schedule)
+        if solver == "dpmpp":
+            from mug_diffusion_tpu.diffusion.dpm_solver import (
+                make_dpm_full_tables,
+            )
+
+            dpm_tables = make_dpm_full_tables(ddpm.schedule)
     else:
         sampler = DDIMSampler(ddpm)
         sched = sampler.make_schedule(steps, ddim_eta=eta)
@@ -236,7 +247,19 @@ def build_fused_generate(
 
         mask_in = mask if use_mask else jnp.zeros(size)
         x0_in = x0 if use_mask else jnp.zeros(size)
-        if dynamic:
+        if dynamic and solver == "dpmpp":
+            # 2nd-order ODE solver: ~4-5x fewer steps than DDIM at equal
+            # quality; deterministic (eta_arg is ignored by construction)
+            from mug_diffusion_tpu.diffusion.dpm_solver import (
+                dpm_dynamic_core,
+            )
+
+            x_final = dpm_dynamic_core(
+                ddpm, params_k, x, c_in, w_in, mask_in, x0_in, rng,
+                steps_arg, guidance_scale, dpm_tables,
+                use_cfg=use_cfg, use_mask=use_mask,
+            )
+        elif dynamic:
             x_final = ddim_dynamic_core(
                 ddpm, params_k, x, c_in, w_in, mask_in, x0_in, rng,
                 steps_arg, eta_arg, guidance_scale, full_tables,
@@ -270,6 +293,8 @@ def build_fused_generate(
             ``use_mask`` change the graph. No defaults for scale/steps —
             the cached executable must not silently reuse a build-time
             value."""
+            if solver == "dpmpp" and float(eta) != 0.0:
+                raise ValueError("solver='dpmpp' is deterministic (eta=0)")
             extra = [jnp.int32(steps), jnp.float32(eta)]
             if use_mask:
                 size = (count, z_length, ddpm.z_channels)

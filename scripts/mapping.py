@@ -38,6 +38,10 @@ def get_parser():
     p.add_argument("--no_adsorption", action="store_true",
                    help="don't snap notes to the detected grid")
     p.add_argument("--ddim_eta", type=float, default=0.0)
+    p.add_argument("--sampler", choices=["ddim", "dpmpp"], default="ddim",
+                   help="dpmpp = DPM-Solver++(2M): ~4-5x fewer steps than "
+                        "ddim at equal quality (try --ddim_steps 20); "
+                        "deterministic, so --ddim_eta must stay 0")
     p.add_argument("--n_samples", type=int, default=4)
     p.add_argument("--scale", type=float, default=1.0,
                    help="classifier-free guidance scale")
@@ -84,6 +88,7 @@ def main(argv=None):
         scale=opt.scale,
         seed=opt.seed,
         eta=opt.ddim_eta,
+        solver=opt.sampler,
         inpaint_from=opt.inpaint_from,
         inpaint_keep_ms=keep_ranges,
     )

@@ -229,7 +229,7 @@ def test_warmup_compiles_fused_executables(pipeline):
     """warmup() precompiles the FUSED serving path per bucket — the same
     cache key sample_charts uses must be populated."""
     pipeline.warmup(buckets=[8], counts=(2,), steps=2, scale=3.0)
-    key = (2, 8, True, False, "mel", False)
+    key = (2, 8, True, False, "mel", False, "ddim")
     assert key in pipeline._fused_cache
 
 
@@ -239,8 +239,8 @@ def test_warmup_mask_covers_uncond_inpainting(pipeline):
     pipeline._fused_cache.clear()
     pipeline.warmup(buckets=[8], counts=(2,), steps=2, scale=3.0,
                     include_mask=True)
-    assert (2, 8, True, True, "mel", False) in pipeline._fused_cache
-    assert (2, 8, False, True, "mel", False) in pipeline._fused_cache
+    assert (2, 8, True, True, "mel", False, "ddim") in pipeline._fused_cache
+    assert (2, 8, False, True, "mel", False, "ddim") in pipeline._fused_cache
 
 
 def test_slider_surface_zero_recompiles(pipeline, wav_path):
@@ -260,9 +260,9 @@ def test_slider_surface_zero_recompiles(pipeline, wav_path):
         assert decoded.shape == (2, 16, 64)
         assert np.isfinite(decoded).all()
     # one pipeline-level structure...
-    assert set(pipeline._fused_cache) == {(2, 8, True, False, "mel", False)}
+    assert set(pipeline._fused_cache) == {(2, 8, True, False, "mel", False, "ddim")}
     # ...backed by exactly ONE compiled XLA executable
-    fn = pipeline._fused_cache[(2, 8, True, False, "mel", False)]
+    fn = pipeline._fused_cache[(2, 8, True, False, "mel", False, "ddim")]
     assert fn._jitted._cache_size() == 1
     # different counts pad to buckets: 3 -> 4, and reuse thereafter
     for count in (3, 4):
@@ -270,7 +270,7 @@ def test_slider_surface_zero_recompiles(pipeline, wav_path):
             wav_path, {"sr": 3.0}, count=count, steps=2, scale=3.0,
         )
         assert decoded.shape == (count, 16, 64)
-    assert (4, 8, True, False, "mel", False) in pipeline._fused_cache
+    assert (4, 8, True, False, "mel", False, "ddim") in pipeline._fused_cache
     assert len(pipeline._fused_cache) == 2
 
 
@@ -282,3 +282,31 @@ def test_dynamic_steps_actually_change_output(pipeline, wav_path):
     b, _ = pipeline.sample_charts(wav_path, {}, count=1, steps=7,
                                   scale=3.0, seed=5)
     assert np.abs(a - b).mean() > 1e-7
+
+
+def test_dpmpp_solver_through_fused_pipeline(pipeline, wav_path):
+    """solver="dpmpp" builds its own fused executable (separate cache key)
+    and produces finite charts; steps is traced there too. Beyond the
+    reference: a 2nd-order solver needs ~4-5x fewer steps than DDIM."""
+    a, z_length = pipeline.sample_charts(
+        wav_path, {"sr": 3.0}, count=2, steps=4, scale=3.0, seed=9,
+        solver="dpmpp",
+    )
+    assert z_length == 8 and a.shape == (2, 16, 64)
+    assert np.isfinite(a).all()
+    assert (2, 8, True, False, "mel", False, "dpmpp") in \
+        pipeline._fused_cache
+    # traced steps reach the dpm while-loop: step count changes the chart
+    b, _ = pipeline.sample_charts(
+        wav_path, {"sr": 3.0}, count=2, steps=9, scale=3.0, seed=9,
+        solver="dpmpp",
+    )
+    assert np.abs(a - b).mean() > 1e-7
+    # deterministic solver: nonzero eta is rejected at the wrapper
+    import pytest
+
+    with pytest.raises(ValueError):
+        pipeline.sample_charts(
+            wav_path, {}, count=1, steps=4, scale=3.0, eta=0.5,
+            solver="dpmpp",
+        )

@@ -83,3 +83,120 @@ def test_ddim_eta_stochastic_differs():
     c2, _ = sampler.sample(S=20, c=None, w=[], batch_size=1, params={},
                            rng=jax.random.PRNGKey(4), x_T=x_T, eta=0.0)
     np.testing.assert_allclose(np.asarray(c1), np.asarray(c2), atol=1e-6)
+
+
+# ----------------------- DPM-Solver++(2M), beyond the reference
+
+
+class OracleDDPM(StubDDPM):
+    """Ideal-denoiser-style stub: pred_x0 = tanh(x) — bounded and smooth
+    like a trained eps model's data prediction (StubDDPM's 0.3*x blows
+    pred_x0 up ~1/alpha at t~T, a stiffness that buries solver order)."""
+
+    def apply_model(self, params, x, t, c, w):
+        s = self.schedule
+        a = jnp.asarray(s.sqrt_alphas_cumprod)[t][:, None, None]
+        b = jnp.asarray(s.sqrt_one_minus_alphas_cumprod)[t][:, None, None]
+        return (x - a * jnp.tanh(x)) / b
+
+
+def test_dpmpp_second_order_convergence():
+    """Both DDIM (eta=0) and DPM-Solver++ integrate the same probability-
+    flow ODE, so at many steps they agree; at FEW steps the 2nd-order
+    multistep solver must sit far closer to the converged solution than
+    1st-order DDIM — that is the whole point of shipping it. Measured on
+    the oracle stub: dpm-20 error ~0.009, ddim-100 ~0.035, ddim-20 ~0.096
+    (relative scale 0.7)."""
+    from mug_diffusion_tpu.diffusion.dpm_solver import (
+        DPMSolverPlusPlusSampler,
+    )
+
+    model = OracleDDPM()
+    ddim = DDIMSampler(model)
+    dpm = DPMSolverPlusPlusSampler(model)
+    x_T = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 4))
+
+    def run(sampler, S):
+        s, _ = sampler.sample(S=S, c=None, w=[], batch_size=2, params={},
+                              rng=jax.random.PRNGKey(1), x_T=x_T, eta=0.0)
+        return np.asarray(s)
+
+    limit = run(dpm, 999)  # also covers the S~T duplicate-node guard
+    scale = np.abs(limit).max()
+    # same ODE limit: the two solvers agree at high step counts
+    assert np.abs(run(ddim, 999) - limit).max() / scale < 0.02
+
+    err = {
+        ("dpm", 20): np.abs(run(dpm, 20) - limit).max() / scale,
+        ("ddim", 20): np.abs(run(ddim, 20) - limit).max() / scale,
+        ("ddim", 100): np.abs(run(ddim, 100) - limit).max() / scale,
+    }
+    assert err[("dpm", 20)] < 0.02, err
+    # >=5x fewer steps at equal quality: dpm-20 beats ddim-100
+    assert err[("dpm", 20)] < err[("ddim", 100)], err
+    assert err[("dpm", 20)] < 0.2 * err[("ddim", 20)], err
+
+
+def test_dpmpp_dynamic_core_bitwise_matches_static():
+    """The traced-steps serving core gathers its node constants from the
+    same f32 full tables as the static scan sampler: identical results at
+    equal steps (the serving path must not drift from the tested one)."""
+    import jax.numpy as jnp
+
+    from mug_diffusion_tpu.diffusion.dpm_solver import (
+        DPMSolverPlusPlusSampler,
+        dpm_dynamic_core,
+        make_dpm_full_tables,
+    )
+
+    model = StubDDPM()
+    dpm = DPMSolverPlusPlusSampler(model)
+    x_T = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 4))
+    tables = make_dpm_full_tables(model.schedule)
+
+    core = jax.jit(lambda x, steps: dpm_dynamic_core(
+        model, {}, x, None, [], jnp.zeros_like(x), jnp.zeros_like(x),
+        jax.random.PRNGKey(3), steps, 1.0, tables,
+        use_cfg=False, use_mask=False,
+    ), static_argnums=())
+
+    for S in (7, 20, 50):
+        static, _ = dpm.sample(S=S, c=None, w=[], batch_size=2, params={},
+                               rng=jax.random.PRNGKey(1), x_T=x_T)
+        dynamic = core(x_T, jnp.int32(S))
+        np.testing.assert_array_equal(np.asarray(static),
+                                      np.asarray(dynamic))
+
+
+def test_dpmpp_mask_inpainting_keeps_region():
+    """Masked region follows q_sample(x0) re-noising each step and ends at
+    ~x0, like the DDIM inpainting contract (ref ddim.py:141-144)."""
+    from mug_diffusion_tpu.diffusion.dpm_solver import (
+        DPMSolverPlusPlusSampler,
+    )
+
+    model = StubDDPM()
+    sampler = DPMSolverPlusPlusSampler(model)
+    x0 = jnp.ones((1, 8, 4)) * 0.5
+    mask = jnp.zeros((1, 8, 4)).at[:, :4, :].set(1.0)
+
+    samples, _ = sampler.sample(
+        S=50, c=None, w=[], batch_size=1, params={},
+        rng=jax.random.PRNGKey(2), mask=mask, x0=x0,
+    )
+    kept = np.asarray(samples)[:, :4, :]
+    assert np.abs(kept - 0.5).max() < 0.2, np.abs(kept - 0.5).max()
+
+
+def test_dpmpp_rejects_eta():
+    from mug_diffusion_tpu.diffusion.dpm_solver import (
+        DPMSolverPlusPlusSampler,
+    )
+
+    model = StubDDPM()
+    sampler = DPMSolverPlusPlusSampler(model)
+    import pytest
+
+    with pytest.raises(AssertionError):
+        sampler.sample(S=10, c=None, w=[], batch_size=1, params={},
+                       rng=jax.random.PRNGKey(0), eta=0.5)
