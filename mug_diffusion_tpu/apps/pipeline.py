@@ -303,7 +303,7 @@ class GenerationPipeline:
 
     def warmup(self, buckets=None, counts=None, steps: int = 100,
                scale: float = 5.0, include_uncond: bool = True,
-               include_mask: bool = False):
+               include_mask: bool = False, solvers=("ddim",)):
         """Precompile the FUSED serving executables — the path
         sample_charts actually dispatches — so first requests hit the
         in-memory + persistent compile cache. Steps, eta and guidance scale
@@ -314,7 +314,9 @@ class GenerationPipeline:
         1-30, count 1-16 — genuinely compile-free afterwards. Pass explicit
         ``counts``/``include_uncond=False`` to warm less (each structure
         costs a cold compile), or ``include_mask=True`` to also warm the
-        fused inpainting structure. With a mesh, counts pad to a
+        fused inpainting structure. ``solvers=("ddim", "dpmpp")`` also
+        warms the DPM-Solver++ executables when the sampler control is
+        exposed (each solver is its own graph per structure). With a mesh, counts pad to a
         mesh-divisible bucket so the warmed executable is the sharded one
         actually served."""
         buckets = buckets or self.z_length_buckets
@@ -334,23 +336,25 @@ class GenerationPipeline:
                         # scale==1.0 inpainting is its own graph too
                         structures.append((False, True))
                 for use_cfg, use_mask in structures:
-                    if (n, use_cfg, use_mask) in warmed:
-                        continue
-                    warmed.add((n, use_cfg, use_mask))
-                    feature = self.encode_prompt({}, n)
-                    call_scale = scale if use_cfg else 1.0
-                    extra = ()
-                    if use_mask:
-                        size = (n, z_length, self.model.z_channels)
-                        extra = (jnp.zeros(size), jnp.zeros(size))
-                    out = self._fused(
-                        n, z_length, use_cfg=use_cfg, use_mask=use_mask,
-                    )(
-                        self.params, mel, feature, feature,
-                        jax.random.PRNGKey(0), call_scale, steps, 0.0,
-                        *extra,
-                    )
-                    np.asarray(out)  # force compile + execute
+                    for solver in solvers:
+                        if (n, use_cfg, use_mask, solver) in warmed:
+                            continue
+                        warmed.add((n, use_cfg, use_mask, solver))
+                        feature = self.encode_prompt({}, n)
+                        call_scale = scale if use_cfg else 1.0
+                        extra = ()
+                        if use_mask:
+                            size = (n, z_length, self.model.z_channels)
+                            extra = (jnp.zeros(size), jnp.zeros(size))
+                        out = self._fused(
+                            n, z_length, use_cfg=use_cfg, use_mask=use_mask,
+                            solver=solver,
+                        )(
+                            self.params, mel, feature, feature,
+                            jax.random.PRNGKey(0), call_scale, steps, 0.0,
+                            *extra,
+                        )
+                        np.asarray(out)  # force compile + execute
 
     def sample_charts_batched(
         self,

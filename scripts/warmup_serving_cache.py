@@ -45,6 +45,8 @@ def main():
     p.add_argument("--counts", type=str, default=None,
                    help="count buckets to warm (default: the pipeline's "
                         "COUNT_BUCKETS; webui slider 1-16 pads to these)")
+    p.add_argument("--solvers", type=str, default="ddim",
+                   help="comma list of solvers to warm (ddim,dpmpp)")
     p.add_argument("--skip-uncond", action="store_true",
                    help="skip the scale==1.0 (no-CFG) graph structures")
     p.add_argument("--skip-mask", action="store_true",
@@ -69,6 +71,7 @@ def main():
             buckets=[z_length], counts=counts,
             include_uncond=not opt.skip_uncond,
             include_mask=not opt.skip_mask,
+            solvers=tuple(opt.solvers.split(",")),
         )
         timings[str(z_length)] = round(time.time() - t0, 1)
         print(f"bucket {z_length}: {timings[str(z_length)]} s")

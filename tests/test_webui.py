@@ -54,7 +54,7 @@ def test_endpoints_registered(ui):
                                       "autofill_tags"}
     # the generate endpoint's input arity matches startMapping's signature
     gen = ui.demo.endpoints["generate"]
-    assert len(gen.inputs) == 3 + 44  # audio/title/artist + 44 control args
+    assert len(gen.inputs) == 3 + 45  # audio/title/artist + 45 control args
     assert len(gen.outputs) == 5
 
 
@@ -65,7 +65,7 @@ def test_generate_endpoint_end_to_end(ui, tmp_path):
     # rss, rs, srs, sr, etts, ett, cjs, cj, cjss, cjsc, stas, sta, stass,
     # stasc, sss, ss, ssss, sssc, jss, js, jsss, jssc, hss, hs, hsss, hssc,
     # jsps, jsp, jspss, jspsc, techs, tech, techss, techsc, mts, lnrs,
-    # mapType, lnr, count, step, scale, rm_jacks, auto_snap, seed
+    # mapType, lnr, count, step, scale, sampler, rm_jacks, auto_snap, seed
     args = [
         False, "Rice (Mostly rices and chords)", False, 4.0,
         False, 20.0,
@@ -77,7 +77,7 @@ def test_generate_endpoint_end_to_end(ui, tmp_path):
         False, "more", False, 17.0,
         False, "more", False, 17.0,
         False, False, "Rice (Mostly rices and chords)", 0.0,
-        1, 4, 3.0, 90, True, 7,
+        1, 4, 3.0, "dpmpp", 90, True, 7,
     ]
     out = gen.fn(wav, "Song", "Artist", *args,
                  progress=gradio_shim.Progress())
@@ -94,11 +94,11 @@ def test_generate_endpoint_end_to_end(ui, tmp_path):
 def test_generate_endpoint_user_errors(ui, tmp_path):
     gen = ui.demo.endpoints["generate"]
     with pytest.raises(gradio_shim.Error, match="Audio not found"):
-        gen.fn(None, "T", "A", *([None] * 44),
+        gen.fn(None, "T", "A", *([None] * 45),
                progress=gradio_shim.Progress())
     wav = _write_wav(str(tmp_path / "x.wav"))
     with pytest.raises(gradio_shim.Error, match="title"):
-        gen.fn(wav, "", "A", *([None] * 44),
+        gen.fn(wav, "", "A", *([None] * 45),
                progress=gradio_shim.Progress())
 
 
