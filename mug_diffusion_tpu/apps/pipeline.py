@@ -327,6 +327,7 @@ class GenerationPipeline:
             warmed = set()
             for count in counts:
                 n = self._count_bucket(count)
+                feature = self.encode_prompt({}, n)  # depends only on n
                 structures = [(True, False)]
                 if include_uncond:
                     structures.append((False, False))
@@ -340,7 +341,6 @@ class GenerationPipeline:
                         if (n, use_cfg, use_mask, solver) in warmed:
                             continue
                         warmed.add((n, use_cfg, use_mask, solver))
-                        feature = self.encode_prompt({}, n)
                         call_scale = scale if use_cfg else 1.0
                         extra = ()
                         if use_mask:

@@ -57,6 +57,55 @@ def make_dpm_full_tables(schedule):
     )
 
 
+def _dpm_step_math(
+    model, params, x, rng, c_in, w_in, mask, x0, per, carry, guidance_scale,
+    *, use_cfg, use_mask,
+):
+    """One DPM-Solver++(2M) update. Shared VERBATIM by the static-steps
+    scan body and the traced-steps while body so the two paths stay
+    bitwise-identical given equal node constants (the same discipline as
+    ddim._ddim_step_math). ``per`` = (ts, alpha_i, sigma_i, lambda_i,
+    alpha_next, sigma_next, lambda_next); ``carry`` = (x0_prev, h_prev,
+    done-count). Duplicate nodes (timestep clipping at S ~ T) give h == 0:
+    the step is skipped instead of divided by."""
+    ts, a_i, s_i, l_i, a_n, s_n, l_n = per
+    x0_prev, h_prev, done = carry
+    B = x.shape[0]
+
+    if use_mask:
+        rng, rng_q = jax.random.split(rng)
+        t_vec = jnp.full((B,), ts, jnp.int32)
+        noise_q = jax.random.normal(rng_q, x.shape)
+        x_orig = model.q_sample(x0, t_vec, noise_q)
+        x = x_orig * mask + (1.0 - mask) * x
+
+    t_vec = jnp.full((B,), ts, jnp.int32)
+    if use_cfg:
+        x_dbl = jnp.concatenate([x, x], axis=0)
+        t_dbl = jnp.concatenate([t_vec, t_vec], axis=0)
+        out = model.apply_model(params, x_dbl, t_dbl, c_in, w_in)
+        e_u, e_c = jnp.split(out, 2, axis=0)
+        e_t = e_u + guidance_scale * (e_c - e_u)
+    else:
+        e_t = model.apply_model(params, x, t_vec, c_in, w_in)
+
+    x0_i = (x - s_i * e_t) / a_i
+    h = l_n - l_i
+    ok = jnp.abs(h) > 0.0
+    hs = jnp.where(ok, h, 1.0)
+    r = h_prev / hs
+    d_2m = (1.0 + 1.0 / (2.0 * r)) * x0_i - (1.0 / (2.0 * r)) * x0_prev
+    d = jnp.where(done == 0, x0_i, d_2m)
+    x_new = (s_n / s_i) * x - a_n * jnp.expm1(-hs) * d
+    x_new = jnp.where(ok, x_new, x)
+    new_carry = (
+        jnp.where(ok, x0_i, x0_prev),
+        jnp.where(ok, hs, h_prev),
+        done + ok.astype(jnp.int32),
+    )
+    return x_new, new_carry, rng
+
+
 class DPMSolverPlusPlusSampler:
     """Same call surface as DDIMSampler (eta must be 0)."""
 
@@ -174,50 +223,21 @@ class DPMSolverPlusPlusSampler:
         def run(params, x, c_in, w_in, mask, x0, rng, timesteps,
                 alpha, sigma, lam, alpha_next, sigma_next, lam_next,
                 guidance_scale):
-            B = size[0]
-
-            def eps_fn(x, ts):
-                t_vec = jnp.full((B,), ts, jnp.int32)
-                if use_cfg:
-                    x_dbl = jnp.concatenate([x, x], axis=0)
-                    t_dbl = jnp.concatenate([t_vec, t_vec], axis=0)
-                    out = model.apply_model(params, x_dbl, t_dbl, c_in, w_in)
-                    e_u, e_c = jnp.split(out, 2, axis=0)
-                    return e_u + guidance_scale * (e_c - e_u)
-                return model.apply_model(params, x, t_vec, c_in, w_in)
-
             def step(carry, per):
-                x, x0_prev, h_prev, rng, idx = carry
-                ts, a_i, s_i, l_i, a_n, s_n, l_n = per
+                x, dpm_carry, rng = carry
+                x_new, dpm_carry, rng = _dpm_step_math(
+                    model, params, x, rng, c_in, w_in, mask, x0, per,
+                    dpm_carry, guidance_scale,
+                    use_cfg=use_cfg, use_mask=use_mask,
+                )
+                return (x_new, dpm_carry, rng), None
 
-                if use_mask:
-                    rng, rng_q = jax.random.split(rng)
-                    t_vec = jnp.full((B,), ts, jnp.int32)
-                    noise_q = jax.random.normal(rng_q, x.shape)
-                    x_orig = model.q_sample(x0, t_vec, noise_q)
-                    x = x_orig * mask + (1.0 - mask) * x
-
-                e_t = eps_fn(x, ts)
-                x0_i = (x - s_i * e_t) / a_i
-                h = l_n - l_i
-                # duplicate nodes (timestep clipping at S ~ T) give h == 0:
-                # skip the step instead of dividing by it
-                ok = jnp.abs(h) > 0.0
-                hs = jnp.where(ok, h, 1.0)
-                r = h_prev / hs
-                d_2m = (1.0 + 1.0 / (2.0 * r)) * x0_i \
-                    - (1.0 / (2.0 * r)) * x0_prev
-                d = jnp.where(idx == 0, x0_i, d_2m)
-                x_new = (s_n / s_i) * x - a_n * jnp.expm1(-hs) * d
-                x_new = jnp.where(ok, x_new, x)
-                x0_keep = jnp.where(ok, x0_i, x0_prev)
-                h_keep = jnp.where(ok, hs, h_prev)
-                return (x_new, x0_keep, h_keep, rng,
-                        idx + ok.astype(jnp.int32)), None
-
-            carry0 = (x, jnp.zeros_like(x), jnp.float32(1.0), rng,
-                      jnp.int32(0))
-            (x, _, _, _, _), _ = jax.lax.scan(
+            carry0 = (
+                x,
+                (jnp.zeros_like(x), jnp.float32(1.0), jnp.int32(0)),
+                rng,
+            )
+            (x, _, _), _ = jax.lax.scan(
                 step, carry0,
                 (timesteps, alpha, sigma, lam,
                  alpha_next, sigma_next, lam_next),
@@ -252,7 +272,6 @@ def dpm_dynamic_core(
     steps = jnp.clip(jnp.asarray(steps, jnp.int32), 1, T)
     stride = T // steps
     num = (T - 1) // stride + 1  # == len(range(0, T, stride))
-    B = x.shape[0]
 
     def node_t(i):
         # schedule index i in [0, num-1] -> model time; i == -1 is the
@@ -261,54 +280,27 @@ def dpm_dynamic_core(
         ts = jnp.minimum(i * stride + 1, T - 1)
         return jnp.where(i < 0, 0, ts)
 
-    def eps_fn(x, ts):
-        t_vec = jnp.full((B,), ts, jnp.int32)
-        if use_cfg:
-            x_dbl = jnp.concatenate([x, x], axis=0)
-            t_dbl = jnp.concatenate([t_vec, t_vec], axis=0)
-            out = model.apply_model(params, x_dbl, t_dbl, c_in, w_in)
-            e_u, e_c = jnp.split(out, 2, axis=0)
-            return e_u + guidance_scale * (e_c - e_u)
-        return model.apply_model(params, x, t_vec, c_in, w_in)
-
     def cond_fn(carry):
         return carry[0] < num
 
     def body_fn(carry):
-        j, x, x0_prev, h_prev, rng, done = carry
+        j, x, dpm_carry, rng = carry
         i = num - 1 - j  # visit order: descending t
         ts = node_t(i)
         ts_next = node_t(i - 1)
-        a_i, s_i, l_i = alpha_full[ts], sigma_full[ts], lam_full[ts]
-        a_n, s_n, l_n = (
-            alpha_full[ts_next], sigma_full[ts_next], lam_full[ts_next]
+        per = (
+            ts, alpha_full[ts], sigma_full[ts], lam_full[ts],
+            alpha_full[ts_next], sigma_full[ts_next], lam_full[ts_next],
         )
+        x_new, dpm_carry, rng = _dpm_step_math(
+            model, params, x, rng, c_in, w_in, mask, x0, per, dpm_carry,
+            guidance_scale, use_cfg=use_cfg, use_mask=use_mask,
+        )
+        return j + 1, x_new, dpm_carry, rng
 
-        if use_mask:
-            rng, rng_q = jax.random.split(rng)
-            t_vec = jnp.full((B,), ts, jnp.int32)
-            noise_q = jax.random.normal(rng_q, x.shape)
-            x_orig = model.q_sample(x0, t_vec, noise_q)
-            x = x_orig * mask + (1.0 - mask) * x
-
-        e_t = eps_fn(x, ts)
-        x0_i = (x - s_i * e_t) / a_i
-        h = l_n - l_i
-        # duplicate nodes (timestep clipping at S ~ T) give h == 0: skip
-        ok = jnp.abs(h) > 0.0
-        hs = jnp.where(ok, h, 1.0)
-        r = h_prev / hs
-        d_2m = (1.0 + 1.0 / (2.0 * r)) * x0_i \
-            - (1.0 / (2.0 * r)) * x0_prev
-        d = jnp.where(done == 0, x0_i, d_2m)
-        x_new = (s_n / s_i) * x - a_n * jnp.expm1(-hs) * d
-        x_new = jnp.where(ok, x_new, x)
-        x0_keep = jnp.where(ok, x0_i, x0_prev)
-        h_keep = jnp.where(ok, hs, h_prev)
-        return (j + 1, x_new, x0_keep, h_keep, rng,
-                done + ok.astype(jnp.int32))
-
-    carry0 = (jnp.int32(0), x, jnp.zeros_like(x), jnp.float32(1.0), rng,
-              jnp.int32(0))
-    _, x_final, _, _, _, _ = jax.lax.while_loop(cond_fn, body_fn, carry0)
+    carry0 = (
+        jnp.int32(0), x,
+        (jnp.zeros_like(x), jnp.float32(1.0), jnp.int32(0)), rng,
+    )
+    _, x_final, _, _ = jax.lax.while_loop(cond_fn, body_fn, carry0)
     return x_final

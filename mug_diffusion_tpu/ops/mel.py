@@ -326,8 +326,18 @@ def load_audio(
     # atomic publish: loader worker threads, worker processes, and (under
     # multi-process SPMD) other ranks may share cache_dir — a reader hitting
     # a half-written npz would quarantine a perfectly good chart
-    # keep the .npz suffix: np.savez would silently append it otherwise
-    tmp_path = f"{cache_path[:-4]}.{os.getpid()}.tmp.npz"
+    # keep the .npz suffix: np.savez would silently append it otherwise.
+    # Unique per WRITER, not just per process: the Loader's default
+    # worker_type="thread" can cache-miss the same audio from two threads
+    # (one mp3 shared by a set's difficulties) — a pid-only name would
+    # truncate a sibling's in-flight write
+    import threading
+    import uuid
+
+    tmp_path = (
+        f"{cache_path[:-4]}.{os.getpid()}-{threading.get_ident()}-"
+        f"{uuid.uuid4().hex[:8]}.tmp.npz"
+    )
     try:
         np.savez_compressed(tmp_path, y=y)
         os.replace(tmp_path, cache_path)

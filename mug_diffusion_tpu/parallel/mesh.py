@@ -63,8 +63,17 @@ def create_mesh(
         f"per-slice mesh shape {shape} != {per_slice} devices"
     )
     slice_ids = {getattr(d, "slice_index", None) for d in devices}
-    if None not in slice_ids and len(slice_ids) == dcn_slices:
-        # real multi-slice topology: honor the physical slice assignment
+    if None not in slice_ids:
+        # real multi-slice topology: honor the physical slice assignment —
+        # and refuse a mismatched dcn_slices rather than silently reshaping
+        # devices from different physical slices into one 'replica' row
+        # (that would route the per-row reduce over DCN every step,
+        # defeating the hierarchical layout this flag promises)
+        if len(slice_ids) != dcn_slices:
+            raise ValueError(
+                f"dcn_slices={dcn_slices} but the devices span "
+                f"{len(slice_ids)} physical slices ({sorted(slice_ids)})"
+            )
         from jax.experimental import mesh_utils
 
         dev_array = mesh_utils.create_hybrid_device_mesh(
@@ -73,6 +82,8 @@ def create_mesh(
             devices,
         )
     else:
+        # no slice topology (single slice / CPU virtual devices): a
+        # deterministic enumeration split exercises identical shardings
         dev_array = np.asarray(devices).reshape((dcn_slices,) + tuple(shape))
     return Mesh(dev_array, ("replica",) + tuple(axes))
 

@@ -147,6 +147,7 @@ class Trainer:
         # stall orbax's coordination barriers.
         self.async_checkpoint = async_checkpoint and jax.process_count() == 1
         self._ckpt_thread = None
+        self._ckpt_error = None
         self.callbacks = callbacks or []
         self.log_every_n_steps = log_every_n_steps
         # rank-zero-only side effects under multi-process SPMD: all ranks
@@ -677,6 +678,12 @@ class Trainer:
 
     def save_checkpoint(self, name: str, weights_only: bool = False,
                         collective: bool = True):
+        # a pending async write must land before ANY new save touches the
+        # tree — including emergency/sync paths, which could otherwise run
+        # a second orbax save on the same 'last' directory concurrently
+        # with the ckpt-writer thread. Emergency saves tolerate (print) a
+        # failed previous write instead of raising: they must still dump.
+        self.flush_checkpoint_writes(raise_on_error=collective)
         # EVERY rank calls this under multi-process SPMD: orbax
         # coordinates the save itself (primary host writes, the others
         # participate in its barriers) — rank-gating it deadlocks rank 0
@@ -711,21 +718,40 @@ class Trainer:
         if self.async_checkpoint and collective:
             import threading
 
-            self.flush_checkpoint_writes()  # serialize: one write in flight
+            def work():
+                try:
+                    ckpt_utils.save_checkpoint(path, payload)
+                except BaseException as e:  # surfaced by the next flush
+                    self._ckpt_error = e
+
+            self._ckpt_error = None
             self._ckpt_thread = threading.Thread(
-                target=ckpt_utils.save_checkpoint, args=(path, payload),
-                daemon=True, name="ckpt-writer",
+                target=work, daemon=True, name="ckpt-writer",
             )
             self._ckpt_thread.start()
         else:
             ckpt_utils.save_checkpoint(path, payload)
         return path
 
-    def flush_checkpoint_writes(self):
-        """Block until the pending async checkpoint write (if any) lands."""
+    def flush_checkpoint_writes(self, raise_on_error: bool = True):
+        """Block until the pending async checkpoint write (if any) lands.
+
+        A failed write re-raises here (the writer thread can't) so a full
+        disk is not silently mistaken for a saved checkpoint — in
+        particular maybe_save_topk must not evict a real checkpoint in
+        favor of a phantom one; its pre-prune flush hits this raise first.
+        """
         if self._ckpt_thread is not None:
             self._ckpt_thread.join()
             self._ckpt_thread = None
+        err = getattr(self, "_ckpt_error", None)
+        self._ckpt_error = None
+        if err is not None:
+            if raise_on_error:
+                raise RuntimeError(
+                    "async checkpoint write failed"
+                ) from err
+            print(f"async checkpoint write failed (continuing): {err!r}")
 
     def maybe_save_topk(self, monitor_value):
         if monitor_value is None:

@@ -45,8 +45,12 @@ def main():
     p.add_argument("--counts", type=str, default=None,
                    help="count buckets to warm (default: the pipeline's "
                         "COUNT_BUCKETS; webui slider 1-16 pads to these)")
-    p.add_argument("--solvers", type=str, default="ddim",
-                   help="comma list of solvers to warm (ddim,dpmpp)")
+    p.add_argument("--solvers", type=str, default="ddim,dpmpp",
+                   help="comma list of solvers to warm; default warms both "
+                        "since the webui exposes the sampler radio (each "
+                        "solver is its own graph per structure — pass "
+                        "--solvers ddim to halve warmup cost if dpmpp is "
+                        "not exposed)")
     p.add_argument("--skip-uncond", action="store_true",
                    help="skip the scale==1.0 (no-CFG) graph structures")
     p.add_argument("--skip-mask", action="store_true",

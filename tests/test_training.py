@@ -515,3 +515,50 @@ def test_async_checkpoint_saves_and_flushes(tmp_path):
     r1, r2 = load_checkpoint(p1), load_checkpoint(p2)
     assert r1["step"] == 7 and float(r1["params"]["w"][0]) == 1.0
     assert r2["step"] == 8 and float(r2["params"]["w"][0]) == 2.0
+
+
+def test_async_checkpoint_failure_surfaces(tmp_path, monkeypatch):
+    """A failed background write must re-raise at the next flush (a full
+    disk must not be mistaken for a saved checkpoint); emergency saves
+    tolerate it (print + continue) so the dump still happens."""
+    import pytest
+
+    from mug_diffusion_tpu.parallel.mesh import create_mesh
+    from mug_diffusion_tpu.training import trainer as trainer_mod
+    from mug_diffusion_tpu.training.trainer import Trainer
+
+    tr = Trainer(
+        task=object(), logdir=str(tmp_path), base_learning_rate=1e-4,
+        batch_size=1, mesh=create_mesh(n_devices=1), scale_lr=False,
+        async_checkpoint=True,
+    )
+    tr.params = {"params": {"w": np.ones((2,), np.float32)}}
+    tr.opt_state = None
+    tr.global_step = 1
+
+    def boom(*a, **k):
+        raise OSError("disk full")
+
+    monkeypatch.setattr(trainer_mod.ckpt_utils, "save_checkpoint", boom)
+    tr.save_checkpoint("last")  # dispatches the doomed write
+    with pytest.raises(RuntimeError, match="async checkpoint write failed"):
+        tr.flush_checkpoint_writes()
+    # error is consumed: a later flush is clean
+    tr.flush_checkpoint_writes()
+
+    # a NEW save flushes the pending failure first and raises before
+    # touching the tree (maybe_save_topk therefore can't evict a real
+    # checkpoint in favor of a phantom one)
+    tr.save_checkpoint("a")
+    with pytest.raises(RuntimeError):
+        tr.save_checkpoint("b")
+
+    # emergency path: pending failure is printed, the sync dump proceeds
+    tr.save_checkpoint("c")
+    saved = {}
+    monkeypatch.setattr(
+        trainer_mod.ckpt_utils, "save_checkpoint",
+        lambda path, payload: saved.setdefault("path", path),
+    )
+    tr.save_checkpoint("emergency", collective=False)
+    assert saved["path"].endswith("emergency")
