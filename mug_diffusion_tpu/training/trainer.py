@@ -361,10 +361,24 @@ class Trainer:
         )
         rng = jax.random.PRNGKey(self.seed + 1)
 
+        self._preempt_requested = False
+
         def melk(*args):
             # signals land on ONE host: never do a collective save here
             print("Dumping emergency checkpoint...")
-            self.save_checkpoint("last", collective=False)
+            try:
+                self.save_checkpoint("last", collective=False)
+            except RuntimeError as e:
+                if "deleted" not in str(e):
+                    raise
+                # the signal landed while the donated train step was in
+                # flight: self.params was consumed by the executable and
+                # won't be rebound until the step returns. Defer — the
+                # loop saves right after the current step completes.
+                self._preempt_requested = True
+                print("... params in flight (donated); deferring the dump "
+                      "to the end of the current step")
+                return
             raise KeyboardInterrupt
 
         # SIGUSR1: manual dump (ref melk, main.py:715-724). SIGTERM:
@@ -392,6 +406,10 @@ class Trainer:
                         self.params, self.opt_state, dev_batch, step_rng,
                     )
                     self.global_step += 1
+                    if self._preempt_requested:
+                        # deferred signal dump: params are freshly rebound
+                        self.save_checkpoint("last", collective=False)
+                        raise KeyboardInterrupt
                     if self.profile_dir and self.global_step == self.profile_steps[0]:
                         jax.profiler.start_trace(self.profile_dir)
                     if self.profile_dir and self.global_step == self.profile_steps[1]:
