@@ -562,3 +562,77 @@ def test_async_checkpoint_failure_surfaces(tmp_path, monkeypatch):
     )
     tr.save_checkpoint("emergency", collective=False)
     assert saved["path"].endswith("emergency")
+
+
+def test_sigterm_mid_step_defers_save(tmp_path, monkeypatch):
+    """When the preemption signal lands while the donated step is in
+    flight (simulated: the first save raises jax's deleted-array error),
+    the handler defers; the loop saves right after the step and exits
+    cleanly."""
+    import signal
+    import threading
+
+    import jax.numpy as jnp
+    import optax
+
+    from mug_diffusion_tpu.parallel.mesh import create_mesh
+    from mug_diffusion_tpu.training.trainer import Trainer
+
+    class ToyTask:
+        config = {"params": {}}
+        monitor = "val/loss"
+
+        def init_params(self, rng, batch_spec=None):
+            return {"params": {"w": jnp.zeros((4,))}}
+
+        def loss_fn(self, params, batch, rng, train=True, **kw):
+            loss = jnp.sum((params["params"]["w"] - batch["y"]) ** 2)
+            return loss, {"train/loss": loss}
+
+        def validation_metrics(self, params, batch, rng, batch_idx):
+            return {}
+
+        def make_optimizer(self, params, lr):
+            return optax.sgd(lr)
+
+    class EndlessData:
+        datasets = {"train": None}
+
+        def train_dataloader(self):
+            def gen():
+                while True:
+                    yield {"y": np.ones((2, 4), np.float32)}
+
+            return gen()
+
+    real_save = Trainer.save_checkpoint
+    calls = []
+
+    def fake_save(self, name, weights_only=False, collective=True):
+        calls.append((name, collective))
+        if len(calls) == 1:  # the in-handler attempt: params donated
+            raise RuntimeError(
+                "Array has been deleted with shape=float32[4]."
+            )
+        return real_save(self, name, weights_only=weights_only,
+                         collective=collective)
+
+    monkeypatch.setattr(Trainer, "save_checkpoint", fake_save)
+    trainer = Trainer(
+        ToyTask(), str(tmp_path / "run"), base_learning_rate=0.1,
+        batch_size=2, mesh=create_mesh(n_devices=2), scale_lr=False,
+        max_epochs=1000, log_every_n_steps=10 ** 9,
+    )
+    trainer.setup()
+    timer = threading.Timer(
+        2.0, lambda: signal.raise_signal(signal.SIGTERM)
+    )
+    timer.start()
+    try:
+        trainer.fit(EndlessData())  # returns cleanly (no raise)
+    finally:
+        timer.cancel()
+    assert trainer._preempt_requested
+    assert len(calls) >= 2  # handler attempt + deferred save
+    assert os.path.isdir(os.path.join(str(tmp_path / "run"),
+                                      "checkpoints", "last"))
