@@ -363,6 +363,7 @@ class GenerationPipeline:
         steps: int = 100,
         scale: float = 5.0,
         seed: int = 0,
+        solver: str = "ddim",
     ):
         """Multi-song batched serving: generate ONE chart per song, with all
         songs padded to the same length bucket and sampled in a single
@@ -392,7 +393,7 @@ class GenerationPipeline:
         # fused multi-song path (single dispatch; see apps/serving)
         decoded = self._fused(
             nb, z_length, use_cfg=(scale != 1.0), input_kind="mel_batch",
-            mel_frames=frames,
+            mel_frames=frames, solver=solver,
         )(
             self.params, _pad_rows(batch, nb), feature, uc_feature,
             jax.random.PRNGKey(seed), scale, steps, 0.0,
