@@ -97,14 +97,17 @@ def build_fused_generate(
     """
     mel_frames = mel_frames or z_length * 64
     dynamic = steps is None
-    if solver not in ("ddim", "dpmpp"):
-        raise ValueError(f"unknown solver {solver!r} (ddim|dpmpp)")
-    if solver == "dpmpp" and not dynamic:
-        raise ValueError("solver='dpmpp' requires dynamic steps (steps=None)")
+    if solver not in ("ddim", "dpmpp", "dpmpp-lambda"):
+        raise ValueError(
+            f"unknown solver {solver!r} (ddim|dpmpp|dpmpp-lambda)"
+        )
+    if solver != "ddim" and not dynamic:
+        raise ValueError(f"solver={solver!r} requires dynamic steps "
+                         "(steps=None)")
     if dynamic:
         # full-length schedule constants; steps/eta are call-time scalars
         full_tables = make_dynamic_schedule_tables(ddpm.schedule)
-        if solver == "dpmpp":
+        if solver != "ddim":
             from mug_diffusion_tpu.diffusion.dpm_solver import (
                 make_dpm_full_tables,
             )
@@ -247,9 +250,10 @@ def build_fused_generate(
 
         mask_in = mask if use_mask else jnp.zeros(size)
         x0_in = x0 if use_mask else jnp.zeros(size)
-        if dynamic and solver == "dpmpp":
-            # 2nd-order ODE solver: ~4-5x fewer steps than DDIM at equal
-            # quality; deterministic (eta_arg is ignored by construction)
+        if dynamic and solver != "ddim":
+            # 2nd-order ODE solver: ~5x fewer steps than DDIM at equal
+            # quality (another ~2x fewer with the -lambda log-SNR node
+            # spacing); deterministic (eta_arg is ignored by construction)
             from mug_diffusion_tpu.diffusion.dpm_solver import (
                 dpm_dynamic_core,
             )
@@ -258,6 +262,9 @@ def build_fused_generate(
                 ddpm, params_k, x, c_in, w_in, mask_in, x0_in, rng,
                 steps_arg, guidance_scale, dpm_tables,
                 use_cfg=use_cfg, use_mask=use_mask,
+                discretize=(
+                    "lambda" if solver == "dpmpp-lambda" else "uniform"
+                ),
             )
         elif dynamic:
             x_final = ddim_dynamic_core(
@@ -293,7 +300,7 @@ def build_fused_generate(
             ``use_mask`` change the graph. No defaults for scale/steps —
             the cached executable must not silently reuse a build-time
             value."""
-            if solver == "dpmpp" and float(eta) != 0.0:
+            if solver != "ddim" and float(eta) != 0.0:
                 raise ValueError("solver='dpmpp' is deterministic (eta=0)")
             extra = [jnp.int32(steps), jnp.float32(eta)]
             if use_mask:

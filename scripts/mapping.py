@@ -38,10 +38,11 @@ def get_parser():
     p.add_argument("--no_adsorption", action="store_true",
                    help="don't snap notes to the detected grid")
     p.add_argument("--ddim_eta", type=float, default=0.0)
-    p.add_argument("--sampler", choices=["ddim", "dpmpp"], default="ddim",
-                   help="dpmpp = DPM-Solver++(2M): ~4-5x fewer steps than "
-                        "ddim at equal quality (try --ddim_steps 20); "
-                        "deterministic, so --ddim_eta must stay 0")
+    p.add_argument("--sampler", choices=["ddim", "dpmpp", "dpmpp-lambda"], default="ddim",
+                   help="dpmpp = DPM-Solver++(2M): ~5x fewer steps than ddim "
+                        "at equal quality (try --ddim_steps 20); "
+                        "dpmpp-lambda adds log-SNR node spacing (~10 "
+                        "steps); deterministic, so --ddim_eta must be 0")
     p.add_argument("--n_samples", type=int, default=4)
     p.add_argument("--scale", type=float, default=1.0,
                    help="classifier-free guidance scale")

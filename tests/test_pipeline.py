@@ -310,3 +310,10 @@ def test_dpmpp_solver_through_fused_pipeline(pipeline, wav_path):
             wav_path, {}, count=1, steps=4, scale=3.0, eta=0.5,
             solver="dpmpp",
         )
+    # log-SNR node spacing is its own executable and a different node grid
+    c, _ = pipeline.sample_charts(
+        wav_path, {"sr": 3.0}, count=2, steps=4, scale=3.0, seed=9,
+        solver="dpmpp-lambda",
+    )
+    assert np.isfinite(c).all()
+    assert np.abs(c - a).mean() > 1e-7

@@ -310,7 +310,7 @@ def build_ui(pipeline: GenerationPipeline, template_path: str):
                 scale = gr.Slider(1, 30, value=5.0, step=0.5,
                                   label="CFG scale")
                 sampler = gr.Radio(
-                    ["ddim", "dpmpp"], value="ddim",
+                    ["ddim", "dpmpp", "dpmpp-lambda"], value="ddim",
                     label="sampler (dpmpp: same quality at ~1/5 the steps)",
                 )
             with gr.Row():
