@@ -160,7 +160,7 @@ def test_dpmpp_dynamic_core_bitwise_matches_static():
         use_cfg=False, use_mask=False,
     ), static_argnums=())
 
-    for S in (7, 20, 50):
+    for S in (1, 7, 20, 50):
         static, _ = dpm.sample(S=S, c=None, w=[], batch_size=2, params={},
                                rng=jax.random.PRNGKey(1), x_T=x_T)
         dynamic = core(x_T, jnp.int32(S))
@@ -252,7 +252,7 @@ def test_dpmpp_lambda_dynamic_core_bitwise_matches_static():
         use_cfg=False, use_mask=False, discretize="lambda",
     ))
 
-    for S in (6, 21, 48):
+    for S in (1, 6, 21, 48):
         static, _ = dpm.sample(S=S, c=None, w=[], batch_size=2, params={},
                                rng=jax.random.PRNGKey(1), x_T=x_T,
                                discretize="lambda")
