@@ -311,7 +311,8 @@ def build_ui(pipeline: GenerationPipeline, template_path: str):
                                   label="CFG scale")
                 sampler = gr.Radio(
                     ["ddim", "dpmpp", "dpmpp-lambda"], value="ddim",
-                    label="sampler (dpmpp: same quality at ~1/5 the steps)",
+                    label="sampler (dpmpp: 100-step quality at ~20 steps; "
+                          "dpmpp-lambda: at ~10)",
                 )
             with gr.Row():
                 rm_jacks = gr.Slider(
