@@ -266,6 +266,12 @@ class GenerationPipeline:
     ):
         """Returns (decoded_note_arrays [count, 4K, T] np, z_length).
 
+        ``feature_dict`` may be one dict (all charts share the prompt, the
+        reference behavior) or a sequence of ``count`` dicts — one prompt
+        per chart, e.g. an easy/normal/hard/insane mapset for one song in a
+        SINGLE fused dispatch (beyond the reference, which generates every
+        chart of a request from the same prompt, ref webui.py:319-331).
+
         ``inpaint_from`` + ``inpaint_keep_ms=[(start_ms, end_ms), ...]``
         regenerate everything outside the kept ranges of an existing chart.
         """
@@ -281,7 +287,16 @@ class GenerationPipeline:
         # modular chain on a remote-TPU host (see docs/PERF.md); the count
         # is padded to a bucket and sliced on readback
         n = self._count_bucket(count)
-        feature = self.encode_prompt(feature_dict, n)
+        if isinstance(feature_dict, dict):
+            feature = self.encode_prompt(feature_dict, n)
+        else:
+            fds = list(feature_dict)
+            if len(fds) != count:
+                raise ValueError(
+                    f"got {len(fds)} per-chart prompts for count={count}"
+                )
+            # bucket-padded rows reuse the last prompt; sliced on readback
+            feature = self.encode_prompt(fds + [fds[-1]] * (n - count), n)
         uc_feature = self.encode_prompt({}, n)
 
         if inpaint_from is not None:

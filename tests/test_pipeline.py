@@ -146,6 +146,29 @@ def test_generate_inpaint(pipeline, wav_path, tmp_path):
     assert np.isfinite(decoded).all()
 
 
+def test_per_chart_prompts(pipeline, wav_path):
+    """A sequence of per-chart prompts generates a mapset (one prompt per
+    difficulty) in a single fused dispatch. Row independence: chart 0 —
+    same seed, same prompt — must be bitwise identical whether chart 1's
+    prompt matches or differs; chart 1 must actually respond to its own
+    prompt."""
+    easy, hard = {"sr": 1.5, "rc": 1}, {"sr": 6.0, "ln": 1}
+    base, _ = pipeline.sample_charts(
+        wav_path, [easy, easy], count=2, steps=4, scale=3.0, seed=11,
+    )
+    mixed, _ = pipeline.sample_charts(
+        wav_path, [easy, hard], count=2, steps=4, scale=3.0, seed=11,
+    )
+    assert mixed.shape == (2, 16, 64)
+    np.testing.assert_array_equal(base[0], mixed[0])
+    assert np.abs(base[1] - mixed[1]).max() > 0
+
+    with pytest.raises(ValueError):
+        pipeline.sample_charts(
+            wav_path, [easy], count=2, steps=4, scale=3.0, seed=11,
+        )
+
+
 def test_batched_multi_song(pipeline, wav_path, tmp_path):
     """Two different songs, one chart each, sampled in a single batch."""
     import shutil
