@@ -252,7 +252,7 @@ class GenerationPipeline:
     def sample_charts(
         self,
         audio_path: str,
-        feature_dict: dict,
+        feature_dict: "dict | Sequence[dict]",
         count: int = 4,
         steps: int = 100,
         scale: float = 5.0,
@@ -275,6 +275,8 @@ class GenerationPipeline:
         ``inpaint_from`` + ``inpaint_keep_ms=[(start_ms, end_ms), ...]``
         regenerate everything outside the kept ranges of an existing chart.
         """
+        if count < 1:
+            raise ValueError(f"count must be >= 1, got {count}")
         mel = self.load_mel(audio_path)
         mel, z_length = self.fit_length(mel)
 

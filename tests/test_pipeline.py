@@ -102,6 +102,20 @@ def pipeline():
 
     pipe = GenerationPipeline(tiny_config())
     pipe.z_length_buckets = (8,)
+    # Perturb params: at init every ContextualTransformer output projection
+    # and the U-Net out-conv are ZERO (ref zero_module convention,
+    # models/attention.py), so prompt context provably cannot reach the
+    # sampler output — prompt-sensitivity tests would be vacuous. Same
+    # treatment as test_precision.py::test_guidance_scale_is_traced_not_baked.
+    import jax
+
+    pipe.params = jax.tree_util.tree_map(
+        lambda x: x + 0.02 * jax.random.normal(
+            jax.random.PRNGKey(1), x.shape
+        ).astype(x.dtype)
+        if hasattr(x, "shape") and x.ndim >= 1 else x,
+        pipe.params,
+    )
     return pipe
 
 
