@@ -10,6 +10,15 @@ Numerics follow librosa defaults (librosa.feature.melspectrogram with
 sr=22050, n_fft=512, hop_length=128): centered frames with constant (zero)
 padding, periodic Hann window, power-2 spectrum, HTK=False (Slaney-scale)
 mel filterbank with 'slaney' area normalization.
+
+Version caveat: the reference pins no librosa version
+(ref: requirements.txt), and librosa changed the melspectrogram default
+``pad_mode`` from 'reflect' (<=0.9) to 'constant' (>=0.10). This module
+implements the modern 'constant' convention; the two differ only in the
+first/last ~2 frames (edge padding of the centered STFT). librosa itself
+is not installable in this image, so parity is established against an
+independent NumPy reference and torch.stft (tests/test_mel.py) rather
+than librosa directly.
 """
 
 from __future__ import annotations
