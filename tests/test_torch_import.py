@@ -370,11 +370,12 @@ def test_unet_parity(torch_ref):
     np.testing.assert_allclose(got, want, atol=2e-3, rtol=1e-3)
 
 
-def test_full_sampler_parity_equal_noise(torch_ref):
-    """BASELINE north star: run the reference's DDIMSampler (actual torch
-    code, ddim.py:56-196) and ours over the full CFG loop with IDENTICAL
-    initial noise, weights, and conditioning, and require matching final
-    latents and decoded charts."""
+@pytest.fixture(scope="module")
+def sampler_pair(torch_ref):
+    """Run the reference's DDIMSampler (actual torch code, ddim.py:56-196)
+    and ours over the full CFG loop with IDENTICAL initial noise, weights,
+    and conditioning; yield both stacks' final latents and decoded note
+    tensors for the parity tests below."""
     import jax
     import jax.numpy as jnp
 
@@ -501,14 +502,131 @@ def test_full_sampler_parity_equal_noise(torch_ref):
     )
     dec_j = np.asarray(ddpm_j.decode(variables, samples_j))
 
-    lat_t = samples_t.numpy().transpose(0, 2, 1)
-    lat_j = np.asarray(samples_j)
-    # trajectories accumulate per-step module tolerance over S steps
-    assert np.abs(lat_j - lat_t).max() < 2e-2, np.abs(lat_j - lat_t).max()
+    return types.SimpleNamespace(
+        lat_t=samples_t.numpy().transpose(0, 2, 1),
+        lat_j=np.asarray(samples_j),
+        dec_t_cl=dec_t.transpose(0, 2, 1),
+        dec_j=dec_j,
+    )
 
-    dec_t_cl = dec_t.transpose(0, 2, 1)
-    assert np.abs(dec_j - dec_t_cl).max() < 5e-2
+
+def test_full_sampler_parity_equal_noise(sampler_pair):
+    """BASELINE north star: matching final latents and decoded charts."""
+    p = sampler_pair
+    # trajectories accumulate per-step module tolerance over S steps
+    assert np.abs(p.lat_j - p.lat_t).max() < 2e-2, np.abs(p.lat_j - p.lat_t).max()
+    assert np.abs(p.dec_j - p.dec_t_cl).max() < 5e-2
     # decoded chart agreement: identical note on/off decisions (logits > 0,
     # data/convertor.py array_to_objects threshold)
-    agree = ((dec_j > 0) == (dec_t_cl > 0)).mean()
+    agree = ((p.dec_j > 0) == (p.dec_t_cl > 0)).mean()
     assert agree > 0.999, agree
+
+
+def _read_osu_sections(path):
+    """Return ([TimingPoints] lines, [HitObjects] lines) of a .osu file."""
+    timing, hits, section = [], [], None
+    with open(path, encoding="utf8") as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            if line.startswith("["):
+                section = line
+                continue
+            if section == "[TimingPoints]":
+                timing.append(line)
+            elif section == "[HitObjects]":
+                hits.append(line)
+    return timing, hits
+
+
+def test_artifact_osu_parity(torch_ref, sampler_pair, tmp_path):
+    """Artifact-level parity: drive BOTH stacks from decoded note tensors
+    all the way to serialized .osu files (array_to_objects -> gridify ->
+    remove_intractable_mania_mini_jacks -> save_osu_file, matching ref
+    webui.py:392-446) and require note-level equality of the results.
+
+    Two claims:
+    (a) symbolic-chain parity — identical input tensor through the
+        reference codec vs ours yields bitwise-identical [TimingPoints] and
+        [HitObjects];
+    (b) end-to-end parity — each stack decoding ITS OWN sampler output
+        (equal seeds/noise/weights) still yields identical note lists.
+    """
+    sys.path.insert(0, REF)
+    try:
+        from mug.data.convertor import (
+            parse_osu_file as t_parse, save_osu_file as t_save,
+        )
+        from mug.data.utils import (
+            gridify as t_gridify,
+            remove_intractable_mania_mini_jacks as t_rm_jacks,
+        )
+    finally:
+        sys.path.pop(0)
+
+    from mug_diffusion_tpu.data.convertor import (
+        parse_osu_file as j_parse, save_osu_file as j_save,
+    )
+    from mug_diffusion_tpu.data.postprocess import (
+        gridify as j_gridify,
+        remove_intractable_mania_mini_jacks as j_rm_jacks,
+    )
+
+    template = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "assets", "template.osu",
+    )
+    # 64 decoded note frames at the live frame duration (ref webui.py:397-399)
+    convertor_params = {
+        "frame_ms": 512 / 22050 / 4 * 8 * 1000,
+        "max_frame": 64,
+        "from_logits": True,
+    }
+
+    def chain(parse, save, grid, rm_jacks, note_array, path):
+        """One stack's full decode-to-artifact chain (ref webui.py:401-446)."""
+
+        def custom_gridify(hit_objects):
+            new_hit_objects, bpm, offset = grid(hit_objects, verbose=False)
+            hit_objects = rm_jacks(
+                new_hit_objects, verbose=False, jack_interval=90
+            )
+            return bpm, offset, hit_objects
+
+        _, meta = parse(template, dict(convertor_params))
+        save(meta, note_array, path=str(path),
+             override={"Version": "parity"}, gridify=custom_gridify)
+        return _read_osu_sections(str(path))
+
+    def assert_timing_close(timing_j, timing_t, ctx):
+        # the [TimingPoints] offset/beat-length floats come from the BPM
+        # fit (ref: sklearn LinearRegression; ours: exact weighted LSQ,
+        # data/postprocess.py) — same math, different float summation
+        # order, so compare numerically instead of textually
+        assert len(timing_j) == len(timing_t) == 1, ctx
+        vals_j = [float(v) for v in timing_j[0].split(",")[:2]]
+        vals_t = [float(v) for v in timing_t[0].split(",")[:2]]
+        np.testing.assert_allclose(vals_j, vals_t, rtol=1e-9, err_msg=ctx)
+        assert timing_j[0].split(",")[2:] == timing_t[0].split(",")[2:], ctx
+
+    p = sampler_pair
+    # (a) same tensor through both codecs -> identical artifact
+    arr = p.dec_t_cl[0].T  # [C, T] as webui passes decode() output
+    timing_t, hits_t = chain(t_parse, t_save, t_gridify, t_rm_jacks,
+                             arr, tmp_path / "ref_same.osu")
+    timing_j, hits_j = chain(j_parse, j_save, j_gridify, j_rm_jacks,
+                             arr, tmp_path / "jax_same.osu")
+    assert hits_t, "reference chain produced an empty chart"
+    assert_timing_close(timing_j, timing_t, "same-tensor timing")
+    assert hits_j == hits_t
+
+    # (b) each stack's own decoded output -> still identical note lists
+    for i in range(p.dec_j.shape[0]):
+        timing_t, hits_t = chain(t_parse, t_save, t_gridify, t_rm_jacks,
+                                 p.dec_t_cl[i].T, tmp_path / f"ref_{i}.osu")
+        timing_j, hits_j = chain(j_parse, j_save, j_gridify, j_rm_jacks,
+                                 p.dec_j[i].T, tmp_path / f"jax_{i}.osu")
+        assert hits_t, f"reference chain produced an empty chart (sample {i})"
+        assert_timing_close(timing_j, timing_t, f"timing on sample {i}")
+        assert hits_j == hits_t, f"note-level mismatch on sample {i}"
