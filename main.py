@@ -169,6 +169,7 @@ def main(argv=None):
             "save_last_every_n_epochs", 1
         ),
         ckpt_every_n_steps=trainer_cfg.get("ckpt_every_n_steps", 10000),
+        save_top_k=trainer_cfg.get("save_top_k", 3),
         async_checkpoint=trainer_cfg.get("async_checkpoint", False),
         log_every_n_steps=trainer_cfg.get("log_every_n_steps", 50),
         max_epochs=opt.max_epochs,
