@@ -142,10 +142,18 @@ class Trainer:
         self.ckpt_every_n_steps = ckpt_every_n_steps
         self.save_top_k = save_top_k
         # async checkpointing overlaps the orbax write with training; the
-        # device->host snapshot stays synchronous (donation-safe). Single-
-        # process only: a write thread's timing skew across ranks could
-        # stall orbax's coordination barriers.
-        self.async_checkpoint = async_checkpoint and jax.process_count() == 1
+        # device->host snapshot stays synchronous (donation-safe). Under
+        # multi-process SPMD the write is RANK-LOCAL: rank 0's writer
+        # thread persists its (replicated, already host-resident) copy
+        # with orbax coordination disabled, and peers skip the write.
+        # A writer thread must never issue cross-rank barriers: they ride
+        # the same gloo/coordination channels as the main thread's step
+        # collectives, and concurrent collectives from two threads
+        # interleave differently per rank (measured: gloo preamble
+        # mismatch / device_put assert_equal pairing rank 0's writer with
+        # rank 1's step_rng). _sync_ranks flushes before its barrier so
+        # peers never read an in-flight checkpoint.
+        self.async_checkpoint = async_checkpoint
         self._ckpt_thread = None
         self._ckpt_error = None
         self.callbacks = callbacks or []
@@ -690,8 +698,11 @@ class Trainer:
         would otherwise reach the distributed-runtime shutdown barrier
         alone and time it out, killing the job at the finish line. No-op
         single-process; intentionally NOT called on exception paths (a
-        dying rank must not make the others block on a barrier)."""
+        dying rank must not make the others block on a barrier). Flushes
+        the pending async write FIRST so peers released by the barrier
+        never read a checkpoint rank 0 is still writing."""
         if jax.process_count() > 1:
+            self.flush_checkpoint_writes()
             self._mp_barrier("mug_fit_end", timeout_ms=600_000)
 
     def save_checkpoint(self, name: str, weights_only: bool = False,
@@ -726,6 +737,17 @@ class Trainer:
             )
             print(f"rank {rank}: emergency params dump at {path}")
             return path
+        multiproc = jax.process_count() > 1
+        if self.async_checkpoint and collective and multiproc \
+                and not self.is_main_process:
+            # rank-local async: ONLY rank 0 writes (the params are
+            # replicated, so its addressable copy is the whole tree —
+            # exactly what coordinated orbax would persist). Peers skip
+            # even the device_get; cross-rank ordering comes from the
+            # main-thread barriers (_sync_ranks flushes rank 0's writer
+            # before releasing peers). A write failure is surfaced on
+            # rank 0's next flush; peers cannot observe it.
+            return path
         payload = {"params": jax.device_get(self.params)["params"],
                    "step": self.global_step}
         if not weights_only and self.opt_state is not None:
@@ -738,7 +760,10 @@ class Trainer:
 
             def work():
                 try:
-                    ckpt_utils.save_checkpoint(path, payload)
+                    # local_only: the writer thread must never touch the
+                    # gloo/coordination channels the main thread is using
+                    ckpt_utils.save_checkpoint(path, payload,
+                                               local_only=multiproc)
                 except BaseException as e:  # surfaced by the next flush
                     self._ckpt_error = e
 

@@ -124,11 +124,36 @@ def trainable_mask(
 
 # ------------------------------------------------------------------ orbax
 
-def save_checkpoint(path: str, payload: Dict[str, Any]):
-    """Save a pytree checkpoint (params / opt_state / step / config)."""
+def save_checkpoint(path: str, payload: Dict[str, Any],
+                    local_only: bool = False):
+    """Save a pytree checkpoint (params / opt_state / step / config).
+
+    ``local_only=True`` writes from THIS process alone with no
+    cross-process coordination (orbax's directory-creation/finalize
+    barriers are restricted to ``active_processes={self}``). This is the
+    only safe mode on a background writer thread under multi-process
+    SPMD: the default all-rank orbax barriers ride the same gloo/
+    coordination channels as the main thread's train-step collectives,
+    and two threads issuing collectives concurrently interleave
+    differently per rank (observed: rank 0's writer-thread payload
+    paired with rank 1's main-thread ``device_put``). The payload must
+    already be host numpy (replicated params after ``device_get``).
+    """
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
+    if local_only and jax.process_count() > 1:
+        rank = jax.process_index()
+        ckptr = ocp.Checkpointer(
+            ocp.StandardCheckpointHandler(),
+            multiprocessing_options=ocp.options.MultiprocessingOptions(
+                primary_host=rank,
+                active_processes={rank},
+                barrier_sync_key_prefix=f"mug_local_r{rank}",
+            ),
+        )
+        ckptr.save(path, args=ocp.args.StandardSave(payload), force=True)
+        return
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(path, payload, force=True)
     ckptr.wait_until_finished()

@@ -160,6 +160,67 @@ def run_trainer(jax, process_id: int, outdir: str):
     print(f"mp_worker {process_id}: TRAINER OK", flush=True)
 
 
+def run_trainer_async(jax, process_id: int, outdir: str):
+    """Multi-process ASYNC checkpointing: a 2-process fit with
+    async_checkpoint=True dispatches every coordinated orbax save on a
+    per-rank writer thread (epoch cadence: val -> top-k save -> save-last,
+    3 epochs), overlapping writes with the next epoch's collectives. Also
+    exercises the flush-before-prune path (top-k eviction with a write
+    possibly in flight) under 2 ranks. Afterwards the checkpoint restores
+    cleanly on both ranks with the trained step/params intact."""
+    import numpy as np
+
+    from __graft_entry__ import _model_config
+    from mug_diffusion_tpu.parallel.mesh import create_mesh
+    from mug_diffusion_tpu.training.tasks import DiffusionTask
+    from mug_diffusion_tpu.training.trainer import Trainer
+    from mug_diffusion_tpu.utils.checkpoint import load_checkpoint
+
+    mesh = create_mesh()
+    batch = make_global_batch()
+    half = GLOBAL_BATCH // 2
+    local = {k: v[process_id * half:(process_id + 1) * half]
+             for k, v in batch.items()}
+
+    class RankStubData:
+        datasets = {"train": None, "validation": None}
+
+        def train_dataloader(self):
+            return [local]
+
+        def val_dataloader(self):
+            return [local]
+
+    logdir = os.path.join(outdir, "run_async")
+    trainer = Trainer(
+        DiffusionTask(_model_config(tiny=True)), logdir=logdir,
+        base_learning_rate=1e-4, batch_size=half, mesh=mesh,
+        scale_lr=False, max_epochs=3, log_every_n_steps=1, save_top_k=1,
+        val_every_n_epochs=1, save_last_every_n_epochs=1,
+        ckpt_every_n_steps=None, async_checkpoint=True,
+    )
+    assert trainer.async_checkpoint  # the mp gate must be gone
+    trainer.setup(batch_spec={
+        "batch": 1, "z_length": Z_LEN, "mel_length": Z_LEN * 4,
+        "n_mels": 16,
+    })
+    trainer.fit(RankStubData())
+    assert trainer.global_step == 3, trainer.global_step
+    assert trainer._ckpt_thread is None  # fit's finally flushed the writer
+
+    ckpts = os.path.join(logdir, "checkpoints")
+    topk = [d for d in os.listdir(ckpts) if d.startswith("epoch_")]
+    assert len(topk) == 1, topk  # prune kept exactly top-1, no phantoms
+    restored = load_checkpoint(os.path.join(ckpts, "last"))
+    assert int(np.asarray(restored["step"])) == 3
+    live = np.asarray(jax.tree_util.tree_leaves(
+        trainer.params["params"]["unet_model"])[0])
+    saved = np.asarray(jax.tree_util.tree_leaves(
+        restored["params"]["unet_model"])[0])
+    np.testing.assert_array_equal(live, saved)
+    print(f"mp_worker {process_id}: ASYNC OK", flush=True)
+
+
 def run_trainer_bucketed(jax, process_id: int, outdir: str):
     """Rank-synchronized bucketed loading through an unmodified 2-process
     Trainer.fit: each rank's Loader plans the identical global batch
@@ -277,6 +338,10 @@ def main(process_id: int, port: int, outdir: str, mode: str = "step"):
 
     if mode == "bucketed":
         run_trainer_bucketed(jax, process_id, outdir)
+        return
+
+    if mode == "async":
+        run_trainer_async(jax, process_id, outdir)
         return
 
     import numpy as np
