@@ -206,6 +206,32 @@ class Trainer:
 
         # optional checkpoint surgery restore (ckpt_path in model config)
         model_cfg_params = self.task.config.get("params", {})
+
+        # nested first-stage restore: first_stage_config.params.ckpt_path
+        # loads a pretrained (bare) VAE checkpoint into the diffusion
+        # model's first_stage_model subtree — the reference does this at
+        # module construction (mug/firststage/autoencoder.py:44-65
+        # init_from_ckpt via first_stage_config); in flax the params are
+        # an external pytree, so the graft happens here. The subtree stays
+        # frozen by the optimizer mask, so this is what makes the latent
+        # space a TRAINED one rather than random-init.
+        fs_cfg = (model_cfg_params.get("first_stage_config") or {})
+        fs_params_cfg = fs_cfg.get("params", {}) or {}
+        fs_ckpt = fs_params_cfg.get("ckpt_path")
+        if fs_ckpt and "first_stage_model" in self.params.get("params", {}):
+            if not os.path.exists(fs_ckpt):
+                raise FileNotFoundError(
+                    f"first_stage_config.params.ckpt_path: {fs_ckpt}"
+                )
+            tree = dict(self.params["params"])
+            tree["first_stage_model"] = ckpt_utils.load_with_surgery(
+                fs_ckpt,
+                tree["first_stage_model"],
+                ignore_keys=fs_params_cfg.get("ignore_keys", ()) or (),
+                remove_prefix=fs_params_cfg.get("remove_prefix"),
+            )
+            self.params = {"params": tree}
+
         ckpt_path = restore_path or model_cfg_params.get("ckpt_path")
         restored = None
         if ckpt_path and os.path.exists(ckpt_path):

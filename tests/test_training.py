@@ -226,6 +226,70 @@ def test_trainer_fit_smoke(data_root, tmp_path):
     assert "val/loss" in header or "val/loss_simple" in header
 
 
+def test_first_stage_ckpt_path_grafts_pretrained_vae(tmp_path):
+    """``first_stage_config.params.ckpt_path`` loads a pretrained bare-VAE
+    checkpoint into the diffusion model's ``first_stage_model`` subtree at
+    Trainer.setup (ref: mug/firststage/autoencoder.py:44-65 init_from_ckpt,
+    wired through first_stage_config like the reference's two-stage
+    workflow). Without it the frozen first stage stays at random init and
+    the diffusion trains in a meaningless latent space."""
+    import jax
+    import jax.numpy as jnp
+
+    from mug_diffusion_tpu.parallel.mesh import create_mesh
+    from mug_diffusion_tpu.training.tasks import build_task
+    from mug_diffusion_tpu.training.trainer import Trainer
+    from mug_diffusion_tpu.utils import checkpoint as ckpt_utils
+
+    batch_spec = {"batch": 2, "z_length": 8, "n_mels": 16, "mel_length": 512}
+    fresh = build_task(_tiny_model_config()).init_params(
+        jax.random.PRNGKey(0), batch_spec
+    )["params"]
+    # fabricate a "pretrained" bare-VAE checkpoint: same structure as the
+    # first-stage subtree, every leaf shifted so the graft is observable
+    vae_params = jax.tree_util.tree_map(
+        lambda x: x + jnp.asarray(1.0, x.dtype), fresh["first_stage_model"]
+    )
+    vae_ckpt = str(tmp_path / "vae_ckpt")
+    ckpt_utils.save_checkpoint(
+        vae_ckpt, {"params": jax.device_get(vae_params), "step": 0}
+    )
+
+    cfg = _tiny_model_config()
+    cfg["params"]["first_stage_config"]["params"]["ckpt_path"] = vae_ckpt
+    trainer = Trainer(
+        task=build_task(cfg), logdir=str(tmp_path / "logs"),
+        base_learning_rate=1e-4, batch_size=2, mesh=create_mesh(n_devices=2),
+    )
+    trainer.setup(batch_spec=batch_spec)
+
+    loaded = trainer.params["params"]
+    for (pa, a), (pb, b) in zip(
+        jax.tree_util.tree_leaves_with_path(loaded["first_stage_model"]),
+        jax.tree_util.tree_leaves_with_path(vae_params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=str(pa))
+    # everything outside the first stage is untouched fresh init
+    first_unet = jax.tree_util.tree_leaves(loaded["unet_model"])[0]
+    np.testing.assert_array_equal(
+        np.asarray(first_unet),
+        np.asarray(jax.tree_util.tree_leaves(fresh["unet_model"])[0]),
+    )
+
+    # a missing path must fail loudly, not train on random latents
+    cfg2 = _tiny_model_config()
+    cfg2["params"]["first_stage_config"]["params"]["ckpt_path"] = str(
+        tmp_path / "nope"
+    )
+    t2 = Trainer(
+        task=build_task(cfg2), logdir=str(tmp_path / "logs2"),
+        base_learning_rate=1e-4, batch_size=2, mesh=create_mesh(n_devices=2),
+    )
+    with pytest.raises(FileNotFoundError):
+        t2.setup(batch_spec=batch_spec)
+
+
 def test_vae_trainer_fit_smoke(data_root, tmp_path):
     """Two VAE (first-stage) training steps: AutoencoderTask + Adam with
     injected LR (ReduceLROnPlateau-capable)."""
