@@ -116,6 +116,44 @@ def main():
         )
         return steps * unet + wave + dec
 
+    def analytic_flops_batched(n_count):
+        """XLA-estimated FLOPs for one THROUGHPUT-mode generation (count
+        n_count charts of one song): S x U-Net at CFG 2*n_count batch +
+        wave encoder + VAE decode at n_count."""
+
+        def cost(fn, *args):
+            comp = jax.jit(fn).lower(*args).compile()
+            ca = comp.cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0]
+            return float(ca.get("flops", 0.0))
+
+        c1, w1, uc1, audio1 = make_conditioning()
+        reps = n_count // count
+        cb = jnp.concatenate([c1] * reps, axis=0)
+        ucb = jnp.concatenate([uc1] * reps, axis=0)
+        wb = [jnp.broadcast_to(wi, (n_count,) + wi.shape[1:]) for wi in w1]
+        x = jnp.zeros((2 * n_count, z_length, 16))
+        tt = jnp.zeros((2 * n_count,), jnp.int32)
+        c2 = jnp.concatenate([ucb, cb], axis=0)
+        w2 = [jnp.concatenate([wi, wi], axis=0) for wi in wb]
+        unet = cost(
+            lambda p, x, t, c, w: ddpm.apply_model(p, x, t, c, w),
+            params, x, tt, c2, w2,
+        )
+        wave = cost(
+            lambda p, a: ddpm.model.apply(
+                p, a, method=type(ddpm.model).wave_output),
+            params, audio1,
+        )
+        z = jnp.zeros((n_count, z_length, 16))
+        dec = cost(
+            lambda p, z: ddpm.model.apply(
+                p, z, method=type(ddpm.model).decode),
+            params, z,
+        )
+        return steps * unet + wave + dec
+
     # fused single-dispatch serving path: whole generation (mel -> wave ->
     # prompt -> 100-step CFG scan -> decode) is ONE executable. The DYNAMIC
     # variant (steps/eta/scale traced — what the pipeline actually serves;
@@ -170,14 +208,52 @@ def main():
     assert out.shape == (count, z_length * 8, 16)
     assert np.isfinite(out).all()
 
+    # THROUGHPUT mode: one fused dispatch generating a 16-chart batch of
+    # the same song (the sample_charts_batched serving shape) — bigger
+    # per-op shapes should lift MFU above the latency-mode 0.34 where
+    # DESIGN.md blames "intrinsic small per-op sizes"; this measures it.
+    tp_count = 16
+    dev_kind = jax.devices()[0].device_kind.lower()
+    # TPU v5e peak: 197 TFLOP/s bf16 (scaling-book hardware table)
+    peak = 1.97e14 if ("v5 lite" in dev_kind or "v5e" in dev_kind) else None
+    tp = {}
+    try:
+        feat_tp = jnp.zeros((tp_count, 21), jnp.int32)
+        fused_tp = build_fused_generate(
+            ddpm, steps=steps, scale=scale, count=tp_count,
+            z_length=z_length,
+        )
+        np.asarray(fused_tp(params, wave_dev, feat_tp, feat_tp,
+                            jax.random.PRNGKey(0)))
+        tp_times = []
+        for i in range(3):
+            t0 = time.time()
+            np.asarray(fused_tp(params, wave_dev, feat_tp, feat_tp,
+                                jax.random.PRNGKey(i + 1)))
+            tp_times.append(time.time() - t0)
+        tp_s = min(tp_times)
+        try:
+            tp_flops = analytic_flops_batched(tp_count)
+        except Exception:
+            tp_flops = None
+        tp = {
+            "throughput_count": tp_count,
+            "throughput_batch_s": round(tp_s, 3),
+            "throughput_charts_per_min_per_chip": round(
+                tp_count / tp_s * 60, 1),
+            "throughput_mfu": (
+                round(tp_flops / tp_s / peak, 4)
+                if (tp_flops and peak) else None
+            ),
+        }
+    except Exception as e:  # HBM overflow etc: report, don't fail bench
+        tp = {"throughput_error": f"{type(e).__name__}: {e}"}
+
     # MFU: XLA-estimated FLOPs / wall time / chip peak.
-    # TPU v5e peak: 197 TFLOP/s bf16 (scaling-book hardware table).
     try:
         total_flops = analytic_flops()
     except Exception:
         total_flops = None
-    dev_kind = jax.devices()[0].device_kind.lower()
-    peak = 1.97e14 if ("v5 lite" in dev_kind or "v5e" in dev_kind) else None
     mfu = (
         round(total_flops / best / peak, 4)
         if (total_flops and peak) else None
@@ -189,32 +265,28 @@ def main():
         "unit": "seconds",
         "vs_baseline": round(BASELINE_SECONDS / best, 2),
     }
-    print(json.dumps(result))
-    print(
-        json.dumps(
-            {
-                "detail": {
-                    "warmup_incl_compile_s": round(warm, 1),
-                    "runs_s": [round(x, 3) for x in times],
-                    "unet_steps_per_sec": round(steps / best, 2),
-                    "charts_per_min_per_chip": round(count / best * 60, 1),
-                    "static_steps_path_s": round(static_s, 3),
-                    "dynamic_overhead_pct": round(
-                        (best / static_s - 1.0) * 100, 1
-                    ),
-                    "modular_path_s": round(modular_s, 3),
-                    "compute_dtype": str(ddpm.compute_dtype.__name__),
-                    "total_gflops_per_generation": (
-                        round(total_flops / 1e9, 1) if total_flops else None
-                    ),
-                    "mfu": mfu,
-                    "backend": jax.default_backend(),
-                    "device": str(jax.devices()[0]),
-                }
-            }
+    detail = {
+        "warmup_incl_compile_s": round(warm, 1),
+        "runs_s": [round(x, 3) for x in times],
+        "unet_steps_per_sec": round(steps / best, 2),
+        "charts_per_min_per_chip": round(count / best * 60, 1),
+        "static_steps_path_s": round(static_s, 3),
+        "dynamic_overhead_pct": round((best / static_s - 1.0) * 100, 1),
+        "modular_path_s": round(modular_s, 3),
+        "compute_dtype": str(ddpm.compute_dtype.__name__),
+        "total_gflops_per_generation": (
+            round(total_flops / 1e9, 1) if total_flops else None
         ),
-        file=sys.stderr,
-    )
+        "mfu": mfu,
+        "backend": jax.default_backend(),
+        "device": str(jax.devices()[0]),
+    }
+    detail.update(tp)
+    # detail FIRST (stderr), headline LAST: whatever records the tail of
+    # this process sees both rows and any last-JSON-line parse lands on
+    # the headline metric
+    print(json.dumps({"detail": detail}), file=sys.stderr, flush=True)
+    print(json.dumps(result), flush=True)
 
 
 if __name__ == "__main__":

@@ -1,18 +1,19 @@
-"""MuG Diffusion TPU — a TPU-native (JAX/XLA/Pallas) rhythm-game charting
+"""MuG Diffusion TPU — a TPU-native (JAX/XLA) rhythm-game charting
 diffusion framework.
 
 Re-implements the full capability surface of Keytoyze/Mug-Diffusion
 (audio -> controllable 4K osu!mania charts via latent diffusion) with a
 TPU-first design: channels-last tensors, jit-compiled whole-sampler loops,
-pjit/shard_map data parallelism over ICI meshes, and Pallas kernels for the
-hot ops.
+and pjit/shard_map data parallelism over ICI meshes. (Pallas kernels for
+attention and the S4 Cauchy contraction were built, A/B-measured, and
+removed — XLA's own fusion wins at this model's op sizes; docs/PERF.md.)
 
 Layer map (mirrors reference SURVEY.md section 1):
   apps/      CLI + WebUI entry points           (ref: webui.py, scripts/mapping.py)
   training/  trainer loop, callbacks            (ref: main.py)
   diffusion/ DDPM core, schedules, DDIM sampler (ref: mug/diffusion/)
   models/    UNet, VAE, wave encoder, embedder  (ref: mug/diffusion/unet.py, mug/firststage/, mug/cond/)
-  ops/       Pallas kernels, mel frontend, FFT  (ref: librosa frontend + s4 cauchy ext)
+  ops/       mel frontend, FFT (XLA)            (ref: librosa frontend + s4 cauchy ext)
   parallel/  mesh + sharding rules              (ref: Lightning DP/DDP via NCCL)
   data/      chart codec, dataset, post-process (ref: mug/data/)
   utils/     config reflection, feature codec   (ref: mug/util.py)

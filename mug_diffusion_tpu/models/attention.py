@@ -70,7 +70,6 @@ class CrossAttention(nn.Module):
     dim_head: int = 64
     dropout: float = 0.0
     position_max_embedding: int = 64
-    use_pallas: bool = False  # fused self-attention kernel (ops/attention_pallas)
 
     @nn.compact
     def __call__(self, x, context=None, mask=None, deterministic: bool = True):
@@ -122,21 +121,11 @@ class CrossAttention(nn.Module):
 
         scale = self.dim_head ** -0.5
 
-        if self.use_pallas and context is None and mask is None:
-            from mug_diffusion_tpu.ops.attention_pallas import (
-                fused_relpos_attention,
-            )
-
-            out = fused_relpos_attention(
-                q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
-                v.transpose(0, 2, 1, 3),
-                pos_bias.transpose(2, 0, 1), c_matrix.transpose(2, 0, 1),
-                scale,
-            )  # [B, H, L, D]
-            out = out.transpose(0, 2, 1, 3).reshape(B, Lq, inner_dim)
-            out = nn.Dense(self.query_dim, name="to_out")(out)
-            return nn.Dropout(self.dropout)(out, deterministic=deterministic)
-
+        # NOTE: a fused Pallas kernel for this body was built, reworked for
+        # native bf16, and deleted after losing the serving-shape A/B both
+        # times (+65 ms e2e at L=512; docs/PERF.md "Pallas attention") —
+        # XLA's fusion of this einsum chain inside the sampler scan beats a
+        # custom-call boundary at these sizes.
         sim = jnp.einsum("bqhd,bkhd->bhqk", q, k)
         sim = (sim + pos_bias.transpose(2, 0, 1)[None]) * scale
 
@@ -165,13 +154,12 @@ class BasicTransformerBlock(nn.Module):
     dropout: float = 0.0
     context_dim: Optional[int] = None
     gated_ff: bool = True
-    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, context=None, deterministic: bool = True):
         x = CrossAttention(
             query_dim=self.dim, heads=self.n_heads, dim_head=self.d_head,
-            dropout=self.dropout, use_pallas=self.use_pallas,
+            dropout=self.dropout,
         )(nn.LayerNorm()(x), deterministic=deterministic) + x
         x = CrossAttention(
             query_dim=self.dim, context_dim=self.context_dim,
@@ -195,7 +183,6 @@ class ContextualTransformer(nn.Module):
     dropout: float = 0.0
     context_dim: Optional[int] = None
     use_checkpoint: bool = False
-    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, context=None, deterministic: bool = True):
@@ -212,7 +199,6 @@ class ContextualTransformer(nn.Module):
             x = block_cls(
                 dim=inner_dim, n_heads=self.n_heads, d_head=self.d_head,
                 dropout=self.dropout, context_dim=self.context_dim,
-                use_pallas=self.use_pallas,
             )(x, context, deterministic)
         x = nn.Dense(
             self.in_channels, kernel_init=zeros_init, bias_init=zeros_init

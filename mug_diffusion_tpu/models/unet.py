@@ -75,7 +75,6 @@ class UNetModel(nn.Module):
     s4_layer: bool = False
     transformer_depth: int = 1
     context_dim: Optional[int] = None
-    use_pallas: bool = False  # fused rel-pos self-attention Pallas kernel
 
     def _heads(self, ch):
         if self.num_head_channels == -1:
@@ -116,7 +115,6 @@ class UNetModel(nn.Module):
                 dropout=self.dropout,
                 context_dim=self.context_dim,
                 use_checkpoint=self.use_checkpoint,
-                use_pallas=self.use_pallas,
             )
 
         time_embed_dim = self.model_channels * 4

@@ -174,6 +174,89 @@ def main():
     except Exception:
         hbm_peak_gb = None
 
+    # BENCH_TRAIN_BREAKDOWN=1: attribute the step to its components by
+    # timing each as its own executable (readback-forced, best of 3).
+    # Components overlap/fuse differently inside the full step, so the
+    # parts need not sum to the whole — this is attribution, not algebra.
+    breakdown = None
+    if os.environ.get("BENCH_TRAIN_BREAKDOWN", "0") == "1":
+        from mug_diffusion_tpu.utils.precision import cast_floating
+
+        model = ddpm.model
+        cls = type(model)
+        ap = (cast_floating(params)
+              if ddpm.compute_dtype == jnp.bfloat16 else params)
+        audio_in = batch["audio"].astype(ddpm.compute_dtype)
+        note_in = batch["note"].astype(ddpm.compute_dtype)
+
+        def wave_loss(p):
+            w = model.apply(p, audio_in, True, method=cls.wave_output)
+            return sum(jnp.sum(wi.astype(jnp.float32)) for wi in w)
+
+        c_const = model.apply(ap, batch["feature"], method=cls.cond_output)
+        w_const = model.apply(ap, audio_in, True, method=cls.wave_output)
+        x = jax.random.normal(kb, (B, z_len, 16), ddpm.compute_dtype)
+        tt = jnp.zeros((B,), jnp.int32)
+
+        def unet_loss(p):
+            out = ddpm.apply_model(p, x, tt, c_const, w_const)
+            return jnp.sum(out.astype(jnp.float32) ** 2)
+
+        def vae_encode(p):
+            return jnp.sum(jnp.abs(
+                model.apply(p, note_in, True, method=cls.encode)
+                .mode().astype(jnp.float32)))
+
+        def fwd_bwd(loss_f):
+            # grads reduced to one scalar INSIDE the jit: outputting the
+            # full grad tree would cost a ~200 MB tunnel readback per
+            # timing, and outputting only the loss would let XLA DCE the
+            # whole backward pass
+            def f(p):
+                loss, grads = jax.value_and_grad(loss_f)(p)
+                gn = sum(
+                    jnp.sum(jnp.square(g.astype(jnp.float32)))
+                    for g in jax.tree_util.tree_leaves(grads)
+                )
+                return loss + gn
+            return f
+
+        def opt_only(params, opt_state):
+            grads = jax.tree_util.tree_map(jnp.ones_like, params)
+            updates, _ = opt.update(grads, opt_state, params)
+            new = optax.apply_updates(params, updates)
+            return sum(
+                jnp.sum(jnp.abs(l.astype(jnp.float32)))
+                for l in jax.tree_util.tree_leaves(new)
+            )
+
+        def timed(fn, *args):
+            jitted = jax.jit(fn)
+            np.asarray(jitted(*args))  # compile + force (tunnel-safe)
+            try:
+                comp = jitted.lower(*args).compile()
+                ca = comp.cost_analysis()
+                if isinstance(ca, (list, tuple)):
+                    ca = ca[0]
+                fl = float(ca.get("flops", 0.0))
+            except Exception:
+                fl = None
+            best = None
+            for _ in range(3):
+                t0 = time.time()
+                np.asarray(jitted(*args))
+                el = time.time() - t0
+                best = el if best is None else min(best, el)
+            return {"ms": round(best * 1000, 1),
+                    "tflops": round(fl / 1e12, 2) if fl else None}
+
+        breakdown = {
+            "wave_encoder_fwd_bwd": timed(fwd_bwd(wave_loss), ap),
+            "unet_fwd_bwd": timed(fwd_bwd(unet_loss), ap),
+            "vae_encode_fwd": timed(vae_encode, ap),
+            "optimizer_update": timed(opt_only, params, opt_state),
+        }
+
     print(json.dumps({
         "metric": "train_step_live_model",
         "value": round(dt * 1000, 1),
@@ -195,6 +278,7 @@ def main():
                 else None
             ),
             "loss_finite": bool(np.isfinite(final)),
+            "breakdown": breakdown,
             "loader": loader_throughput(),
             "device": str(jax.devices()[0]),
         },
