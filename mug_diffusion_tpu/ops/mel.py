@@ -259,15 +259,76 @@ def _decode_wav(audio_path: str, sr: int, max_duration: Optional[float]):
     return y
 
 
+def _resample_to(y: np.ndarray, src_sr: int, sr: int) -> np.ndarray:
+    if src_sr == sr:
+        return np.asarray(y, dtype=np.float32)
+    from fractions import Fraction
+
+    from scipy.signal import resample_poly
+
+    frac = Fraction(sr, src_sr).limit_denominator(1000)
+    return resample_poly(
+        np.asarray(y, np.float32), frac.numerator, frac.denominator
+    ).astype(np.float32)
+
+
+def _decode_soundfile(audio_path: str, sr: int, max_duration):
+    """Optional hop: libsndfile via the soundfile package (wav/flac/ogg),
+    matching the reference's second fallback (ref mug/util.py:124-126).
+    Raises ImportError when soundfile is not installed."""
+    import soundfile as sf  # gated: not part of the baked image
+
+    with sf.SoundFile(audio_path) as f:
+        src_sr = f.samplerate
+        frames = -1
+        if max_duration is not None:
+            frames = int(max_duration * src_sr)
+        y = f.read(frames=frames, dtype="float32", always_2d=True)
+    y = y.mean(axis=1)
+    if len(y) == 0:
+        raise ValueError("empty decode")
+    return _resample_to(y, src_sr, sr)
+
+
+def _decode_audioread(audio_path: str, sr: int, max_duration):
+    """Optional hop: audioread (gstreamer/CoreAudio/mad backends), matching
+    the reference's last fallback (ref mug/util.py:127-131). Raises
+    ImportError when audioread is not installed."""
+    import audioread  # gated: not part of the baked image
+
+    chunks = []
+    with audioread.audio_open(audio_path) as f:
+        src_sr, n_ch = f.samplerate, f.channels
+        need = None
+        if max_duration is not None:
+            need = int(max_duration * src_sr) * n_ch
+        got = 0
+        for buf in f:
+            chunks.append(np.frombuffer(buf, dtype=np.int16))
+            got += len(chunks[-1])
+            if need is not None and got >= need:
+                break
+    if not chunks:
+        raise ValueError("empty decode")
+    y = np.concatenate(chunks).astype(np.float32) / 32768.0
+    if need is not None:
+        y = y[:need]
+    if n_ch > 1:
+        y = y[: len(y) - len(y) % n_ch].reshape(-1, n_ch).mean(axis=1)
+    return _resample_to(y, src_sr, sr)
+
+
 def load_audio_wave(
     audio_path: str, sr: int, max_duration: Optional[float] = None
 ) -> Tuple[np.ndarray, int]:
     """Decode an audio file to mono float32 PCM at ``sr``.
 
-    Fallback chain (replaces the audioread/soundfile chain at ref
-    mug/util.py:120-131): ffmpeg subprocess (any format) -> native WAV
-    reader + scipy polyphase resampler. MP3/OGG decode requires ffmpeg on
-    PATH.
+    Fallback chain mirroring the reference's (ref mug/util.py:120-131):
+    ffmpeg subprocess (any format) -> soundfile/libsndfile (wav/flac/ogg,
+    if installed) -> audioread (if installed) -> native WAV reader + scipy
+    polyphase resampler (no external dependencies at all). On a host with
+    neither ffmpeg nor the optional packages, only WAV input decodes —
+    the error lists every decoder attempted.
     """
     errors = []
     try:
@@ -276,6 +337,14 @@ def load_audio_wave(
         errors.append("ffmpeg: binary not found on PATH")
     except (subprocess.CalledProcessError, ValueError) as e:
         errors.append(f"ffmpeg: {e}")
+    for name, fn in (("soundfile", _decode_soundfile),
+                     ("audioread", _decode_audioread)):
+        try:
+            return fn(audio_path, sr, max_duration), sr
+        except ImportError:
+            errors.append(f"{name}: package not installed")
+        except Exception as e:  # noqa: BLE001 - keep the full fallback report
+            errors.append(f"{name}: {e}")
     try:
         return _decode_wav(audio_path, sr, max_duration), sr
     except Exception as e:  # noqa: BLE001 - keep the full fallback report

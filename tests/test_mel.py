@@ -117,6 +117,44 @@ def test_decode_wav(tmp_path):
     np.testing.assert_allclose(decoded[:n], ref[:n], atol=1e-3)
 
 
+def test_decode_chain_without_ffmpeg(tmp_path, monkeypatch):
+    """With ffmpeg unavailable the chain walks the reference's fallbacks
+    (soundfile -> audioread -> native WAV, ref mug/util.py:120-131): WAV
+    still decodes via the native reader, and a non-WAV input fails with an
+    error naming every decoder attempted."""
+    import wave
+
+    import mug_diffusion_tpu.ops.mel as mel_mod
+
+    def no_ffmpeg(*a, **k):
+        raise FileNotFoundError("ffmpeg")
+
+    monkeypatch.setattr(mel_mod.subprocess, "run", no_ffmpeg)
+
+    sr = 22050
+    y = (0.5 * np.sin(2 * np.pi * 440 * np.arange(sr) / sr) * 32767).astype(
+        np.int16
+    )
+    p = tmp_path / "tone.wav"
+    with wave.open(str(p), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(y.tobytes())
+    decoded, got_sr = load_audio_wave(str(p), sr)
+    assert got_sr == sr and abs(len(decoded) - sr) < 64
+
+    bad = tmp_path / "song.mp3"
+    bad.write_bytes(b"\xff\xfb\x90\x00" + b"\x00" * 64)
+    try:
+        load_audio_wave(str(bad), sr)
+        raise AssertionError("expected decode failure")
+    except ValueError as e:
+        msg = str(e)
+        for hop in ("ffmpeg", "soundfile", "audioread", "wav"):
+            assert hop in msg, f"error should mention {hop}: {msg}"
+
+
 def test_mel_stft_chain_matches_torch():
     """Cross-framework validation of the STFT chain: torch.stft with
     librosa's conventions (centered, constant padding, periodic hann,
