@@ -132,7 +132,8 @@ def main():
         reps = n_count // count
         cb = jnp.concatenate([c1] * reps, axis=0)
         ucb = jnp.concatenate([uc1] * reps, axis=0)
-        wb = [jnp.broadcast_to(wi, (n_count,) + wi.shape[1:]) for wi in w1]
+        # w1 entries already carry the latency-mode batch (count): tile up
+        wb = [jnp.concatenate([wi] * reps, axis=0) for wi in w1]
         x = jnp.zeros((2 * n_count, z_length, 16))
         tt = jnp.zeros((2 * n_count,), jnp.int32)
         c2 = jnp.concatenate([ucb, cb], axis=0)
@@ -234,8 +235,9 @@ def main():
         tp_s = min(tp_times)
         try:
             tp_flops = analytic_flops_batched(tp_count)
-        except Exception:
+        except Exception as e:
             tp_flops = None
+            tp["throughput_flops_error"] = f"{type(e).__name__}: {e}"
         tp = {
             "throughput_count": tp_count,
             "throughput_batch_s": round(tp_s, 3),
