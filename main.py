@@ -171,6 +171,8 @@ def main(argv=None):
         ckpt_every_n_steps=trainer_cfg.get("ckpt_every_n_steps", 10000),
         save_top_k=trainer_cfg.get("save_top_k", 3),
         async_checkpoint=trainer_cfg.get("async_checkpoint", False),
+        device_audio_cache=trainer_cfg.get("device_audio_cache", False),
+        device_audio_cache_mb=trainer_cfg.get("device_audio_cache_mb", 4096),
         log_every_n_steps=trainer_cfg.get("log_every_n_steps", 50),
         max_epochs=opt.max_epochs,
         max_steps=opt.max_steps,

@@ -348,10 +348,12 @@ class OsuDataset:
             if max_valid_length < audio.shape[1]:
                 audio[:, max_valid_length:] = 0
 
+            audio_randomized = False
             if np.random.random() < self.freq_mask_p:
                 f = int(np.random.uniform(0, self.freq_mask_num))
                 f0 = random.randint(0, self.n_mels - f)
                 audio[f0 : f0 + f, :] = 0
+                audio_randomized = True
 
             if np.random.random() < self.pitch_p:
                 shift = np.random.randint(1, 5)
@@ -360,6 +362,7 @@ class OsuDataset:
                     audio = np.concatenate([audio[shift:, :], zeros], axis=0)
                 else:
                     audio = np.concatenate([zeros, audio[:-shift, :]], axis=0)
+                audio_randomized = True
 
             if nb is not None:  # crop to the item's length bucket
                 audio = audio[:, : nb * self.audio_note_window_ratio]
@@ -369,6 +372,14 @@ class OsuDataset:
             # 805 MB at fp32 — the single biggest transfer in training.
             # DDPM.wave_output upcasts before the encoder (ddpm.py:50).
             example["audio"] = audio.T.astype(np.float16)  # [Tmel, 128]
+            # deterministic identity of this row for the trainer's
+            # device-resident audio cache (training/device_cache.py):
+            # (path, rate, bucket) fully determine the mel unless a
+            # RANDOM augment fired above — then None = not cacheable
+            example["audio_key"] = (
+                None if audio_randomized
+                else f"{path}|r{convertor_params['rate']:.4f}|b{nb}"
+            )
 
         if self.with_feature:
             _, feature = self.load_feature(
@@ -476,6 +487,9 @@ def _pad_example_to(e: dict, note_frames: int, ratio: int) -> dict:
     out["valid_flag"] = np.pad(e["valid_flag"], (0, pad))
     if "audio" in e:
         out["audio"] = np.pad(e["audio"], ((0, pad * ratio), (0, 0)))
+        # the padded row no longer matches its (path, rate, bucket)
+        # identity — don't let the device cache adopt or serve it
+        out["audio_key"] = None
     return out
 
 
@@ -487,6 +501,8 @@ def collate(examples: List[dict]) -> dict:
             batch[k] = np.stack([e[k] for e in examples], axis=0)
     batch["meta"] = [e["meta"] for e in examples]
     batch["convertor"] = [e["convertor"] for e in examples]
+    if "audio_key" in examples[0]:
+        batch["audio_key"] = [e.get("audio_key") for e in examples]
     return batch
 
 

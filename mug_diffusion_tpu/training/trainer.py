@@ -115,6 +115,8 @@ class Trainer:
         profile_dir: Optional[str] = None,
         profile_steps: tuple = (10, 15),
         async_checkpoint: bool = False,
+        device_audio_cache: bool = False,
+        device_audio_cache_mb: int = 4096,
     ):
         self.task = task
         self.logdir = logdir
@@ -154,6 +156,19 @@ class Trainer:
         # rank 1's step_rng). _sync_ranks flushes before its barrier so
         # peers never read an in-flight checkpoint.
         self.async_checkpoint = async_checkpoint
+        # device-resident audio rows (training/device_cache.py): dedupes
+        # the per-epoch mel upload — the largest H2D transfer in training.
+        # Single-process only: multi-process SPMD builds global arrays
+        # from per-rank host shards, which a device cache would bypass.
+        self._audio_cache = None
+        if device_audio_cache and jax.process_count() == 1:
+            from mug_diffusion_tpu.training.device_cache import (
+                DeviceAudioCache,
+            )
+
+            self._audio_cache = DeviceAudioCache(
+                max_bytes=device_audio_cache_mb << 20
+            )
         self._ckpt_thread = None
         self._ckpt_error = None
         self.callbacks = callbacks or []
@@ -382,9 +397,23 @@ class Trainer:
         # DDP batch reweighting (ref main.py:536-537 DDP + drop_last=False).
         n_dev = self._local_device_multiple()
         b = next(iter(tensors.values())).shape[0] if tensors else 0
+        keys = batch.get("audio_key")
         if b and b % n_dev != 0:
             idx = np.resize(np.arange(b), b + (-b) % n_dev)
             tensors = {k: np.asarray(v)[idx] for k, v in tensors.items()}
+            if keys is not None:
+                keys = [keys[i] for i in idx]
+        if (
+            self._audio_cache is not None
+            and "audio" in tensors
+            and keys is not None
+        ):
+            audio = tensors.pop("audio")
+            out = shard_batch(tensors, self.mesh)
+            out["audio"] = self._audio_cache.batch(
+                audio, keys, batch_sharding(self.mesh)
+            )
+            return out
         return shard_batch(tensors, self.mesh)
 
     def fit(self, datamodule):
@@ -549,8 +578,17 @@ class Trainer:
             if keep == 0:
                 continue
             if keep < b:
+                # per-item list fields (meta/convertor/audio_key) must be
+                # trimmed in lockstep with the tensors, or downstream
+                # row-aligned consumers (BeatmapLogger, the device audio
+                # cache) would pair row i with item j
                 batch = {
-                    k: (v[:keep] if isinstance(v, np.ndarray) else v)
+                    k: (
+                        v[:keep]
+                        if isinstance(v, np.ndarray)
+                        or (isinstance(v, list) and len(v) == b)
+                        else v
+                    )
                     for k, v in batch.items()
                 }
             dev_batch = self._device_batch(batch)
