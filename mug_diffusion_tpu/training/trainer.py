@@ -277,10 +277,11 @@ class Trainer:
         self.opt_state = self.optimizer.init(self.params)
         if resume and restored is not None and "opt_state" in restored:
             try:
-                self.opt_state = jax.tree_util.tree_map(
-                    lambda tgt, src: jax.numpy.asarray(src)
-                    if hasattr(tgt, "shape") else src,
-                    self.opt_state, restored["opt_state"],
+                # orbax lowers tuples/namedtuples to lists — rebuild with
+                # the fresh opt_state's treedef so Adam moments and the
+                # schedule count actually survive the resume
+                self.opt_state = ckpt_utils.coerce_like(
+                    self.opt_state, restored["opt_state"]
                 )
             except Exception as e:  # structure changed; fresh opt state
                 print(f"opt_state restore failed ({e}); reinitialized")

@@ -122,6 +122,36 @@ def trainable_mask(
     return unflatten_params(mask, sep)
 
 
+def coerce_like(target, restored):
+    """Rebuild ``restored`` with ``target``'s tree structure.
+
+    Orbax round-trips tuples, namedtuples (optax states) and lists all as
+    lists, so a restored optimizer state no longer tree_maps against the
+    freshly initialized one (treedef mismatch). Containers traverse in the
+    same order either way (dict keys sorted, sequences positional, None
+    subtrees skipped by both), so the restored LEAVES align positionally
+    with the target's — unflatten them with the target's treedef. Raises
+    ValueError on a leaf-count mismatch (a genuinely changed optimizer
+    recipe), which callers treat as "reinitialize".
+    """
+    import jax
+
+    tgt_leaves, treedef = jax.tree_util.tree_flatten(target)
+    src_leaves = jax.tree_util.tree_leaves(restored)
+    if len(src_leaves) != len(tgt_leaves):
+        raise ValueError(
+            f"restored tree has {len(src_leaves)} leaves, expected "
+            f"{len(tgt_leaves)}"
+        )
+    import jax.numpy as jnp
+
+    leaves = [
+        jnp.asarray(s) if hasattr(t, "shape") else s
+        for t, s in zip(tgt_leaves, src_leaves)
+    ]
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
 # ------------------------------------------------------------------ orbax
 
 def save_checkpoint(path: str, payload: Dict[str, Any],

@@ -147,3 +147,56 @@ def test_warmup_cosine_schedulers():
     )
     assert s2(10) == pytest.approx(1.0)
     assert s2(110) == pytest.approx(0.1, abs=1e-6)
+
+
+def test_opt_state_survives_orbax_roundtrip(tmp_path):
+    """Resume must restore Adam moments and the schedule count EXACTLY:
+    orbax lowers optax's namedtuples/tuples to lists, which used to fail
+    the structure match and silently reinitialize the optimizer on every
+    resume (utils/checkpoint.py coerce_like)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from mug_diffusion_tpu.utils.checkpoint import (
+        coerce_like,
+        load_checkpoint,
+        save_checkpoint,
+    )
+
+    params = {"params": {"w": jnp.ones((3, 2)), "b": jnp.zeros((2,))}}
+    opt = optax.chain(
+        optax.clip_by_global_norm(1.0),
+        optax.adamw(optax.warmup_constant_schedule(0.0, 1e-3, 10)),
+    )
+    state = opt.init(params)
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    for _ in range(3):  # make moments/count non-trivial
+        updates, state = opt.update(grads, state, params)
+        params = optax.apply_updates(params, updates)
+
+    save_checkpoint(str(tmp_path / "ck"), {"opt_state": state, "step": 3})
+    restored = load_checkpoint(str(tmp_path / "ck"))
+
+    # the raw restore no longer tree_maps against the live structure...
+    with np.testing.assert_raises(ValueError):
+        jax.tree_util.tree_map(
+            lambda a, b: a, opt.init(params), restored["opt_state"]
+        )
+    # ...but coerce_like rebuilds it bitwise with the live treedef
+    coerced = coerce_like(opt.init(params), restored["opt_state"])
+    assert (
+        jax.tree_util.tree_structure(coerced)
+        == jax.tree_util.tree_structure(state)
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(coerced),
+        jax.tree_util.tree_leaves(state),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # a changed optimizer recipe must refuse, not mis-zip
+    other = optax.adam(1e-3).init(params)
+    with np.testing.assert_raises(ValueError):
+        coerce_like(other, restored["opt_state"])
