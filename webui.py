@@ -311,8 +311,9 @@ def build_ui(pipeline: GenerationPipeline, template_path: str):
                                   label="CFG scale")
                 sampler = gr.Radio(
                     ["ddim", "dpmpp", "dpmpp-lambda"], value="ddim",
-                    label="sampler (dpmpp: 100-step quality at ~20 steps; "
-                          "dpmpp-lambda: at ~10)",
+                    label="sampler (dpmpp-lambda: ~100-step ddim quality "
+                          "at 10-20 steps, measured on trained weights; "
+                          "dpmpp uniform-t: no measured win over ddim)",
                 )
             with gr.Row():
                 rm_jacks = gr.Slider(
