@@ -39,10 +39,11 @@ def get_parser():
                    help="don't snap notes to the detected grid")
     p.add_argument("--ddim_eta", type=float, default=0.0)
     p.add_argument("--sampler", choices=["ddim", "dpmpp", "dpmpp-lambda"], default="ddim",
-                   help="dpmpp = DPM-Solver++(2M): ~5x fewer steps than ddim "
-                        "at equal quality (try --ddim_steps 20); "
-                        "dpmpp-lambda adds log-SNR node spacing (~10 "
-                        "steps); deterministic, so --ddim_eta must be 0")
+                   help="dpmpp-lambda = DPM-Solver++(2M) on a log-SNR node "
+                        "grid: ~100-step ddim quality at 10-20 steps, "
+                        "measured on trained weights (docs/PERF.md); "
+                        "uniform-t dpmpp showed no measured win over ddim; "
+                        "both deterministic, so --ddim_eta must be 0")
     p.add_argument("--n_samples", type=int, default=4)
     p.add_argument("--scale", type=float, default=1.0,
                    help="classifier-free guidance scale")
@@ -61,7 +62,16 @@ def main(argv=None):
     title = opt.audio_title or os.path.splitext(os.path.basename(opt.audio))[0]
     artist = opt.audio_artist or "Unknown Artist"
 
-    config = load_config(opt.model_config)
+    model_config = opt.model_config
+    if model_config == "models/ckpt/model.yaml" and not os.path.isfile(
+            model_config):
+        # the reference's deploy layout (ref mapping.py) puts the config
+        # next to the downloaded weights; fall back to the repo's live
+        # config so a fresh clone with --ckpt alone still generates
+        model_config = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "configs/mug/mug_diffusion_tpu.yaml")
+    config = load_config(model_config)
     pipeline = GenerationPipeline(config, ckpt_path=opt.ckpt)
 
     # per-sample prompts feature_1.yaml .. feature_N.yaml (ref mapping.py:422-427)
