@@ -116,10 +116,10 @@ def main():
         )
         return steps * unet + wave + dec
 
-    def analytic_flops_batched(n_count):
+    def analytic_flops_batched(n_count, n_songs=1):
         """XLA-estimated FLOPs for one THROUGHPUT-mode generation (count
-        n_count charts of one song): S x U-Net at CFG 2*n_count batch +
-        wave encoder + VAE decode at n_count."""
+        n_count charts of n_songs songs): S x U-Net at CFG 2*n_count batch
+        + wave encoder at batch n_songs + VAE decode at n_count."""
 
         def cost(fn, *args):
             comp = jax.jit(fn).lower(*args).compile()
@@ -142,10 +142,11 @@ def main():
             lambda p, x, t, c, w: ddpm.apply_model(p, x, t, c, w),
             params, x, tt, c2, w2,
         )
+        audio_b = jnp.concatenate([audio1] * n_songs, axis=0)
         wave = cost(
             lambda p, a: ddpm.model.apply(
                 p, a, method=type(ddpm.model).wave_output),
-            params, audio1,
+            params, audio_b,
         )
         z = jnp.zeros((n_count, z_length, 16))
         dec = cost(
@@ -213,43 +214,78 @@ def main():
     # the same song (the sample_charts_batched serving shape) — bigger
     # per-op shapes should lift MFU above the latency-mode 0.34 where
     # DESIGN.md blames "intrinsic small per-op sizes"; this measures it.
-    tp_count = 16
     dev_kind = jax.devices()[0].device_kind.lower()
     # TPU v5e peak: 197 TFLOP/s bf16 (scaling-book hardware table)
     peak = 1.97e14 if ("v5 lite" in dev_kind or "v5e" in dev_kind) else None
     tp = {}
-    try:
-        feat_tp = jnp.zeros((tp_count, 21), jnp.int32)
-        fused_tp = build_fused_generate(
-            ddpm, steps=steps, scale=scale, count=tp_count,
-            z_length=z_length,
-        )
-        np.asarray(fused_tp(params, wave_dev, feat_tp, feat_tp,
-                            jax.random.PRNGKey(0)))
-        tp_times = []
-        for i in range(3):
-            t0 = time.time()
-            np.asarray(fused_tp(params, wave_dev, feat_tp, feat_tp,
-                                jax.random.PRNGKey(i + 1)))
-            tp_times.append(time.time() - t0)
-        tp_s = min(tp_times)
+    # sweep: count 16 and 32 of one song, plus a 2-song count-32 fused
+    # batch (the production batch-serving shape: the wave encoder runs
+    # once PER SONG, each song fans out to its 16 charts)
+    mel_on_dev = melspectrogram_on_device(wave_dev, max_frames=mel_frames)
+    for label, tp_count, tp_songs in (
+        ("tp16", 16, 1), ("tp32", 32, 1), ("tp32_2song", 32, 2),
+    ):
         try:
-            tp_flops = analytic_flops_batched(tp_count)
-        except Exception as e:
-            tp_flops = None
-            tp["throughput_flops_error"] = f"{type(e).__name__}: {e}"
-        tp = {
-            "throughput_count": tp_count,
-            "throughput_batch_s": round(tp_s, 3),
-            "throughput_charts_per_min_per_chip": round(
-                tp_count / tp_s * 60, 1),
-            "throughput_mfu": (
-                round(tp_flops / tp_s / peak, 4)
-                if (tp_flops and peak) else None
-            ),
-        }
-    except Exception as e:  # HBM overflow etc: report, don't fail bench
-        tp = {"throughput_error": f"{type(e).__name__}: {e}"}
+            feat_tp = jnp.zeros((tp_count, 21), jnp.int32)
+            if tp_songs == 1:
+                fused_tp = build_fused_generate(
+                    ddpm, steps=steps, scale=scale, count=tp_count,
+                    z_length=z_length,
+                )
+                audio_arg = wave_dev
+            else:
+                fused_tp = build_fused_generate(
+                    ddpm, steps=steps, scale=scale, count=tp_count,
+                    z_length=z_length, input_kind="mel_songs",
+                    n_songs=tp_songs,
+                )
+                audio_arg = jnp.stack([mel_on_dev] * tp_songs)
+            np.asarray(fused_tp(params, audio_arg, feat_tp, feat_tp,
+                                jax.random.PRNGKey(0)))
+            tp_times = []
+            for i in range(3):
+                t0 = time.time()
+                np.asarray(fused_tp(params, audio_arg, feat_tp, feat_tp,
+                                    jax.random.PRNGKey(i + 1)))
+                tp_times.append(time.time() - t0)
+            tp_s = min(tp_times)
+            try:
+                tp_flops = analytic_flops_batched(tp_count, tp_songs)
+            except Exception as e:
+                tp_flops = None
+                tp[f"{label}_flops_error"] = f"{type(e).__name__}: {e}"
+            row = {
+                f"{label}_batch_s": round(tp_s, 3),
+                f"{label}_charts_per_min_per_chip": round(
+                    tp_count / tp_s * 60, 1),
+                f"{label}_mfu": (
+                    round(tp_flops / tp_s / peak, 4)
+                    if (tp_flops and peak) else None
+                ),
+            }
+            tp.update(row)
+            # headline throughput_* keys track the best charts/min config
+            if (row[f"{label}_charts_per_min_per_chip"]
+                    > tp.get("throughput_charts_per_min_per_chip", 0)):
+                tp.update({
+                    "throughput_count": tp_count,
+                    "throughput_songs": tp_songs,
+                    "throughput_batch_s": row[f"{label}_batch_s"],
+                    "throughput_charts_per_min_per_chip": row[
+                        f"{label}_charts_per_min_per_chip"],
+                    "throughput_mfu": row[f"{label}_mfu"],
+                })
+        except Exception as e:  # HBM overflow etc: report, don't fail
+            tp[f"{label}_error"] = f"{type(e).__name__}: {e}"
+    # HBM high-water across everything this process ran (axon tunnels may
+    # not expose memory_stats — then this key is absent)
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+        if stats and "peak_bytes_in_use" in stats:
+            tp["hbm_peak_gb"] = round(
+                stats["peak_bytes_in_use"] / 2 ** 30, 2)
+    except Exception:
+        pass
 
     # MFU: XLA-estimated FLOPs / wall time / chip peak.
     try:

@@ -52,6 +52,7 @@ def build_fused_generate(
     n_mels: int = 128,
     n_fft: int = 512,
     input_kind: str = "wave",
+    n_songs: int = 1,
     mesh=None,
     data_axis: str = "data",
     shard_wave_time: bool = False,
@@ -132,7 +133,18 @@ def build_fused_generate(
     n_levels = len(ddpm.model.unet_config["params"]["channel_mult"])
     wrapper_cls = type(ddpm.model)
 
-    assert input_kind in ("wave", "mel", "mel_batch")
+    assert input_kind in ("wave", "mel", "mel_batch", "mel_songs")
+    # "mel_songs": MULTI-SONG fused batch — audio_in is [n_songs, n_mels,
+    # T]; the wave encoder runs ONCE at batch n_songs and each song's
+    # features fan out to its count/n_songs charts. This is the production
+    # batch-serving shape: K requests for different tracks share one
+    # dispatch without re-encoding any song per chart (mel_batch would run
+    # the encoder count times) and without the single-song restriction of
+    # "wave"/"mel".
+    if input_kind == "mel_songs" and count % n_songs != 0:
+        raise ValueError(
+            f"count={count} not divisible by n_songs={n_songs}"
+        )
 
     jit_kwargs = {}
     if mesh is not None:
@@ -198,7 +210,7 @@ def build_fused_generate(
             audio = mel.T[None]  # [1, T_mel, n_mels]
         elif input_kind == "mel":  # one song, [n_mels, T]
             audio = audio_in.T[None]
-        else:  # "mel_batch": one mel per sample, [count, n_mels, T]
+        else:  # "mel_batch"/"mel_songs": [count|n_songs, n_mels, T]
             audio = audio_in.transpose(0, 2, 1)
 
         audio = shard_time(audio)
@@ -216,13 +228,17 @@ def build_fused_generate(
 
         w1, c, uc = ddpm.model.apply(params, method=encode_all)
         # single-song kinds encode the audio once at batch 1 and broadcast
-        # the (small) deep scales to all samples; mel_batch is already [n,..]
+        # the (small) deep scales to all samples; mel_batch is already
+        # [count, ...]; mel_songs repeats each song's row to its charts
+        if input_kind == "mel_songs" and n_songs != count:
+            def fan_out(wi):
+                return jnp.repeat(wi, count // n_songs, axis=0)
+        else:
+            def fan_out(wi):
+                return jnp.broadcast_to(wi, (count,) + wi.shape[1:])
+
         w = [
-            shard(
-                jnp.broadcast_to(
-                    wi, (count,) + wi.shape[1:]
-                ).astype(jnp.float32)
-            )
+            shard(fan_out(wi).astype(jnp.float32))
             for wi in list(w1)[-n_levels:]
         ]
 

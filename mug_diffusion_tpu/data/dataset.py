@@ -376,9 +376,14 @@ class OsuDataset:
             # device-resident audio cache (training/device_cache.py):
             # (path, rate, bucket) fully determine the mel unless a
             # RANDOM augment fired above — then None = not cacheable
+            # full-precision rate in the key: the mel depends on rate via
+            # int(round(T/rate)) resize + valid-length zeroing, so two
+            # draws in the same rounded bin are different mels of the same
+            # final padded shape — a rounded key could serve a misaligned
+            # cached row (advisor r4)
             example["audio_key"] = (
                 None if audio_randomized
-                else f"{path}|r{convertor_params['rate']:.4f}|b{nb}"
+                else f"{path}|r{float(convertor_params['rate']).hex()}|b{nb}"
             )
 
         if self.with_feature:

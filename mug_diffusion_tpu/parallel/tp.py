@@ -102,15 +102,18 @@ def tp_shardings(params, mesh: Mesh):
     return jax.tree_util.tree_map_with_path(one, params)
 
 
-def tp_flop_coverage(params, model_axis_size: int = 2,
-                     frozen_prefixes: tuple = ()) -> float:
-    """Fraction of matmul/conv weight FLOPs the TP rules shard.
+def tp_param_coverage(params, model_axis_size: int = 2,
+                      frozen_prefixes: tuple = ()) -> float:
+    """PARAMETER-weighted fraction of matmul/conv kernels the TP rules
+    shard: sum(sharded kernel elements)/sum(all kernel elements) over
+    rank>=2 'kernel' leaves, skipping ``frozen_prefixes`` subtrees (e.g.
+    the frozen VAE, which serving replicates anyway).
 
-    Per-leaf FLOPs are proportional to the kernel element count (every
-    weight element is one MAC per output position), so the coverage of
-    the TRAINED compute is sum(sharded kernel elements)/sum(all kernel
-    elements) over rank>=2 'kernel' leaves, skipping ``frozen_prefixes``
-    subtrees (e.g. the frozen VAE, which serving replicates anyway).
+    This is a PROXY for FLOP coverage, not the thing itself: actual conv
+    FLOPs are kernel elements x output positions, and output length varies
+    across U-Net levels (time downsampling), so layers at full sequence
+    length are under-weighted here (advisor r4). Exact FLOP weighting
+    needs per-layer activation shapes, which params alone don't carry.
     Diagnostic for "how much of the model does TP actually scale".
     """
     total = sharded = 0

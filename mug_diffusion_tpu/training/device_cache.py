@@ -49,6 +49,12 @@ class DeviceAudioCache:
         nbytes = int(row.size) * row.dtype.itemsize
         if nbytes > self.max_bytes:
             return
+        # replacing an existing key (shape/dtype-guard re-upload path) must
+        # release the old entry's bytes first or the account leaks upward
+        # and evicts prematurely (advisor r4)
+        old = self._rows.pop(key, None)
+        if old is not None:
+            self._bytes -= int(old.size) * old.dtype.itemsize
         while self._bytes + nbytes > self.max_bytes and self._rows:
             _, old = self._rows.popitem(last=False)
             self._bytes -= int(old.size) * old.dtype.itemsize

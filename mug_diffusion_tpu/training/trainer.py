@@ -115,6 +115,12 @@ class Trainer:
         profile_dir: Optional[str] = None,
         profile_steps: tuple = (10, 15),
         async_checkpoint: bool = False,
+        # NOTE (advisor r4): cached rows AND the jnp.stack staging batch
+        # live on the DEFAULT device only — on a multi-device mesh the
+        # whole cache budget plus one pre-reshard batch land on device 0's
+        # HBM before the final device_put fans out. Budget accordingly
+        # (v5e: 16 GB HBM; default 4 GiB cache + ~1 GiB batch is safe for
+        # the live model) or disable the cache for model-parallel layouts.
         device_audio_cache: bool = False,
         device_audio_cache_mb: int = 4096,
     ):

@@ -143,6 +143,17 @@ def coerce_like(target, restored):
             f"restored tree has {len(src_leaves)} leaves, expected "
             f"{len(tgt_leaves)}"
         )
+    # leaf count alone can't catch a REORDERED optimizer recipe with the
+    # same number of leaves — that would silently zip moments into the
+    # wrong slots (advisor r4). Require positional shape agreement too.
+    for i, (t, s) in enumerate(zip(tgt_leaves, src_leaves)):
+        ts = getattr(t, "shape", None)
+        ss = getattr(s, "shape", None)
+        if ts is not None and ss is not None and tuple(ts) != tuple(ss):
+            raise ValueError(
+                f"restored leaf {i} has shape {tuple(ss)}, expected "
+                f"{tuple(ts)} — optimizer recipe changed; reinitialize"
+            )
     import jax.numpy as jnp
 
     leaves = [

@@ -1,0 +1,79 @@
+#!/usr/bin/env bash
+# One-command round-5 retrain recipe (VERDICT r4 item 5: make the trained
+# evidence reproducible from a fresh clone).
+#
+#   bash scripts/retrain_r5.sh
+#
+# Stages (the reference's two-stage recipe, ref README.md:57-63):
+#   0. corpus v2: LN-bearing, pattern-family synthetic dataset + feature.db
+#   1. first-stage VAE  (configs/mug/autoencoder_tpu.yaml)
+#   2. latent diffusion (configs/mug/mug_diffusion_tpu.yaml) with the
+#      stage-1 best checkpoint frozen-restored via
+#      model.params.first_stage_config.params.ckpt_path
+#
+# Environment knobs: CORPUS_N (default 768 charts), SEED (5),
+# VAE_STEPS (6000), DIFF_STEPS (4000), OUT (runs prefix r5).
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+CORPUS_N=${CORPUS_N:-768}
+SEED=${SEED:-5}
+VAE_STEPS=${VAE_STEPS:-6000}
+DIFF_STEPS=${DIFF_STEPS:-4000}
+OUT=${OUT:-r5}
+
+# ---- 0. corpus --------------------------------------------------------
+if [ ! -f data/synthetic/beatmap.txt ] || \
+   [ "$(wc -l < data/synthetic/beatmap.txt)" -ne "$CORPUS_N" ]; then
+  python scripts/make_synthetic_dataset.py \
+    -o data/synthetic -n "$CORPUS_N" --seed "$SEED"
+fi
+# the training configs read data/beatmap.txt
+cp data/synthetic/beatmap.txt data/beatmap.txt
+
+# ---- 1. VAE -----------------------------------------------------------
+python main.py -b configs/mug/autoencoder_tpu.yaml -t \
+  -n "${OUT}vae" -s "$SEED" --max_steps "$VAE_STEPS"
+
+# best checkpoint = smallest monitor value in the run's top-k dir
+VAE_RUN=$(ls -dt logs/*"${OUT}vae"* | head -1)
+BEST_VAE=$(python - "$VAE_RUN" <<'EOF'
+import os, re, sys
+run = sys.argv[1]
+ckpts = []
+for name in os.listdir(os.path.join(run, "checkpoints")):
+    m = re.match(r"epoch_(\d+)_m([0-9.]+)$", name)
+    if m:
+        ckpts.append((float(m.group(2)), name))
+if not ckpts:
+    raise SystemExit(f"no top-k checkpoints under {run}/checkpoints")
+print(os.path.join(run, "checkpoints", min(ckpts)[1]))
+EOF
+)
+echo "stage-1 best VAE checkpoint: $BEST_VAE"
+
+# ---- 2. latent diffusion ---------------------------------------------
+python main.py -b configs/mug/mug_diffusion_tpu.yaml -t \
+  -n "${OUT}diff" -s "$SEED" --max_steps "$DIFF_STEPS" \
+  "model.params.first_stage_config.params.ckpt_path=$BEST_VAE"
+
+DIFF_RUN=$(ls -dt logs/*"${OUT}diff"* | head -1)
+BEST_DIFF=$(python - "$DIFF_RUN" <<'EOF'
+import os, re, sys
+run = sys.argv[1]
+ckpts = []
+for name in os.listdir(os.path.join(run, "checkpoints")):
+    m = re.match(r"epoch_(\d+)_m([0-9.]+)$", name)
+    if m:
+        ckpts.append((float(m.group(2)), name))
+if not ckpts:
+    raise SystemExit(f"no top-k checkpoints under {run}/checkpoints")
+print(os.path.join(run, "checkpoints", min(ckpts)[1]))
+EOF
+)
+echo "stage-2 best diffusion checkpoint: $BEST_DIFF"
+echo "metrics: $VAE_RUN/metrics.csv  $DIFF_RUN/metrics.csv"
+echo
+echo "eval next:"
+echo "  python scripts/eval_solvers_quality.py --ckpt $BEST_DIFF"
+echo "  python scripts/eval_controllability.py --ckpt $BEST_DIFF"

@@ -425,3 +425,62 @@ def test_guidance_scale_is_traced_not_baked():
     c = np.asarray(fused(params, wave, feat, ucf, rng))  # default = 3.0
     assert np.abs(a - b).mean() > 1e-5   # scale reaches the CFG combine
     np.testing.assert_allclose(a, c)     # default arg == build scale
+
+
+def test_mel_songs_fused_matches_modular_fan_out():
+    """input_kind='mel_songs' (multi-song fused batch): the wave encoder
+    runs once at batch n_songs and each song's features fan out to its
+    count/n_songs charts — must equal the modular chain that encodes both
+    songs and jnp.repeats the conditioning, bit-for-bit at equal seeds."""
+    from mug_diffusion_tpu.apps.serving import build_fused_generate
+
+    ddpm, params = _build("float32")
+    count, n_songs, steps, z_length = 4, 2, 6, 8
+    n_mels, ratio = 16, 8
+    mel_frames = z_length * 8 * ratio
+
+    rs = np.random.RandomState(1)
+    mels = jnp.asarray(
+        0.3 * rs.randn(n_songs, n_mels, mel_frames).astype(np.float32)
+    )
+    feature = jnp.zeros((count, 21), jnp.int32)
+    uc_feature = jnp.ones((count, 21), jnp.int32)
+
+    fused = build_fused_generate(
+        ddpm, steps=steps, scale=3.0, count=count, z_length=z_length,
+        mel_frames=mel_frames, n_mels=n_mels, n_fft=64,
+        input_kind="mel_songs", n_songs=n_songs,
+    )
+    rng = jax.random.PRNGKey(5)
+    out_fused = np.asarray(fused(params, mels, feature, uc_feature, rng))
+
+    # modular: encode both songs at batch n_songs, repeat per chart
+    audio = mels.transpose(0, 2, 1)  # [n_songs, T, n_mels]
+    _, w1 = ddpm.encode_conditioning(params, audio, feature[:n_songs])
+    n_levels = len(ddpm.model.unet_config["params"]["channel_mult"])
+    w = [jnp.repeat(wi, count // n_songs, axis=0)
+         for wi in list(w1)[-n_levels:]]
+    c = ddpm.cond_output(params, feature)
+    uc = ddpm.cond_output(params, uc_feature)
+    sampler = DDIMSampler(ddpm)
+    rng2, rng_init = jax.random.split(rng)
+    x_T = jax.random.normal(rng_init, (count, z_length, ddpm.z_channels))
+    samples, _ = sampler.sample(
+        S=steps, c=c, w=w, batch_size=count, params=params,
+        shape=(16, z_length), rng=rng2, x_T=x_T,
+        unconditional_guidance_scale=3.0, unconditional_conditioning=uc,
+    )
+    out_mod = np.asarray(ddpm.decode(params, samples))
+    assert np.allclose(out_fused, out_mod, atol=5e-5), (
+        np.abs(out_fused - out_mod).max()
+    )
+
+    # count % n_songs must be rejected
+    import pytest
+
+    with pytest.raises(ValueError):
+        build_fused_generate(
+            ddpm, steps=steps, scale=3.0, count=3, z_length=z_length,
+            mel_frames=mel_frames, n_mels=n_mels, n_fft=64,
+            input_kind="mel_songs", n_songs=2,
+        )

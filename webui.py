@@ -309,11 +309,14 @@ def build_ui(pipeline: GenerationPipeline, template_path: str):
                                  label="Sampling steps")
                 scale = gr.Slider(1, 30, value=5.0, step=0.5,
                                   label="CFG scale")
+                # uniform-t dpmpp is NOT exposed: at matched steps it
+                # measured WORSE than ddim on trained weights
+                # (docs/PERF.md solver-quality table) — the solver stays
+                # in code solely as the basis for the lambda grid
                 sampler = gr.Radio(
-                    ["ddim", "dpmpp", "dpmpp-lambda"], value="ddim",
+                    ["ddim", "dpmpp-lambda"], value="ddim",
                     label="sampler (dpmpp-lambda: ~100-step ddim quality "
-                          "at 10-20 steps, measured on trained weights; "
-                          "dpmpp uniform-t: no measured win over ddim)",
+                          "at 10-20 steps, measured on trained weights)",
                 )
             with gr.Row():
                 rm_jacks = gr.Slider(
