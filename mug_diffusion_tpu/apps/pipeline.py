@@ -138,7 +138,8 @@ class GenerationPipeline:
 
     def _fused(self, count: int, z_length: int, use_cfg: bool = True,
                use_mask: bool = False, input_kind: str = "mel",
-               mel_frames: Optional[int] = None, solver: str = "ddim"):
+               mel_frames: Optional[int] = None, solver: str = "ddim",
+               n_songs: int = 1):
         """Cached fused single-dispatch generator per request STRUCTURE.
 
         Steps, eta and guidance scale are traced arguments of the returned
@@ -152,7 +153,7 @@ class GenerationPipeline:
 
         mesh = self._mesh_for(count)
         key = (count, z_length, use_cfg, use_mask, input_kind,
-               mesh is not None, solver)
+               mesh is not None, solver, n_songs)
         if key not in self._fused_cache:
             ratio = self.max_audio_frame // self.model.z_length
             self._fused_cache[key] = build_fused_generate(
@@ -162,9 +163,10 @@ class GenerationPipeline:
                 use_mask=use_mask,
                 sr=self.sr, n_mels=self.n_mels, n_fft=self.n_fft,
                 input_kind=input_kind,
+                n_songs=n_songs,
                 mesh=mesh,
                 shard_wave_time=mesh is not None
-                and input_kind != "mel_batch",
+                and input_kind not in ("mel_batch", "mel_songs"),
                 solver=solver,
             )
         return self._fused_cache[key]
@@ -381,13 +383,22 @@ class GenerationPipeline:
         scale: float = 5.0,
         seed: int = 0,
         solver: str = "ddim",
+        count_per_song: int = 1,
     ):
-        """Multi-song batched serving: generate ONE chart per song, with all
-        songs padded to the same length bucket and sampled in a single
-        device batch (the reference serves strictly one song at a time,
-        ref webui.py:277).
+        """Multi-song batched serving: all songs padded to the same length
+        bucket and sampled in a single device batch (the reference serves
+        strictly one song at a time, ref webui.py:277).
 
-        Returns (decoded [n_songs, 4K, T], z_length).
+        ``count_per_song=1`` generates one chart per song (the wave
+        encoder runs once per BATCH ROW, input_kind='mel_batch').
+        ``count_per_song>1`` generates K charts per song in the same
+        single dispatch with the encoder still running once per SONG
+        (input_kind='mel_songs'): the production batch shape — e.g. 2
+        songs x 16 charts = one executable, two encoder rows.
+        ``feature_dicts`` has one dict per song (shared by that song's
+        charts) or one per chart, song-major.
+
+        Returns (decoded [n_songs*count_per_song, 4K, T], z_length).
         """
         mels = [self.load_mel(p) for p in audio_paths]
         fitted = [self.fit_length(m) for m in mels]
@@ -402,20 +413,28 @@ class GenerationPipeline:
         )  # [n, n_mels, frames]
         n = len(audio_paths)
         nb = self._count_bucket(n)  # pad songs to a batch-shape bucket
-        feature = self.encode_prompt(
-            list(feature_dicts) + [{}] * (nb - n), nb
-        )
-        uc_feature = self.encode_prompt({}, nb)
+        k = count_per_song
+        fds = list(feature_dicts)
+        if k > 1 and len(fds) == n:  # one prompt per song -> per chart
+            fds = [d for d in fds for _ in range(k)]
+        if len(fds) != n * k:
+            raise ValueError(
+                f"got {len(fds)} prompts for {n} songs x {k} charts"
+            )
+        feature = self.encode_prompt(fds + [{}] * ((nb - n) * k), nb * k)
+        uc_feature = self.encode_prompt({}, nb * k)
 
         # fused multi-song path (single dispatch; see apps/serving)
         decoded = self._fused(
-            nb, z_length, use_cfg=(scale != 1.0), input_kind="mel_batch",
+            nb * k, z_length, use_cfg=(scale != 1.0),
+            input_kind="mel_batch" if k == 1 else "mel_songs",
             mel_frames=frames, solver=solver,
+            n_songs=nb if k > 1 else 1,
         )(
             self.params, _pad_rows(batch, nb), feature, uc_feature,
             jax.random.PRNGKey(seed), scale, steps, 0.0,
         )
-        return np.asarray(decoded[:n]).transpose(0, 2, 1), z_length
+        return np.asarray(decoded[:n * k]).transpose(0, 2, 1), z_length
 
     # ------------------------------------------------------ serialization
 

@@ -196,6 +196,37 @@ def test_batched_multi_song(pipeline, wav_path, tmp_path):
     assert np.isfinite(decoded).all()
 
 
+def test_batched_multi_song_multi_chart(pipeline, wav_path, tmp_path):
+    """count_per_song>1: K charts per song in ONE dispatch with the wave
+    encoder running once per SONG (input_kind='mel_songs')."""
+    import shutil
+
+    wav2 = str(tmp_path / "tone2b.wav")
+    shutil.copyfile(wav_path, wav2)
+    decoded, z_length = pipeline.sample_charts_batched(
+        [wav_path, wav2], [{"sr": 2.0}, {"sr": 5.0}], steps=4, scale=2.0,
+        count_per_song=2,
+    )
+    assert decoded.shape == (4, 16, z_length * 8)
+    assert np.isfinite(decoded).all()
+    # the two charts of one song share conditioning but not noise
+    assert np.abs(decoded[0] - decoded[1]).max() > 1e-4
+    # per-chart prompt list (song-major) is accepted too
+    decoded2, _ = pipeline.sample_charts_batched(
+        [wav_path, wav2],
+        [{"sr": 2.0}, {"sr": 3.0}, {"sr": 4.0}, {"sr": 5.0}],
+        steps=4, scale=2.0, count_per_song=2,
+    )
+    assert decoded2.shape == (4, 16, z_length * 8)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        pipeline.sample_charts_batched(
+            [wav_path, wav2], [{}, {}, {}], steps=4, scale=2.0,
+            count_per_song=2,
+        )
+
+
 def test_chart2prompt(tmp_path):
     from mug_diffusion_tpu.apps.invert import chart_to_prompt
 
