@@ -53,9 +53,14 @@ EOF
 echo "stage-1 best VAE checkpoint: $BEST_VAE"
 
 # ---- 2. latent diffusion ---------------------------------------------
+# val every 10 epochs (quality-gate ancestral probes every 5th val);
+# device-resident mel cache cuts the dominant H2D transfer on remote hosts
 python main.py -b configs/mug/mug_diffusion_tpu.yaml -t \
   -n "${OUT}diff" -s "$SEED" --max_steps "$DIFF_STEPS" \
-  "model.params.first_stage_config.params.ckpt_path=$BEST_VAE"
+  "model.params.first_stage_config.params.ckpt_path=$BEST_VAE" \
+  lightning.trainer.val_every_n_epochs=10 \
+  lightning.trainer.device_audio_cache=true \
+  lightning.trainer.save_top_k=2
 
 DIFF_RUN=$(ls -dt logs/*"${OUT}diff"* | head -1)
 BEST_DIFF=$(python - "$DIFF_RUN" <<'EOF'
