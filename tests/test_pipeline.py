@@ -297,7 +297,7 @@ def test_warmup_compiles_fused_executables(pipeline):
     """warmup() precompiles the FUSED serving path per bucket — the same
     cache key sample_charts uses must be populated."""
     pipeline.warmup(buckets=[8], counts=(2,), steps=2, scale=3.0)
-    key = (2, 8, True, False, "mel", False, "ddim")
+    key = (2, 8, True, False, "mel", False, "ddim", 1)
     assert key in pipeline._fused_cache
 
 
@@ -307,8 +307,8 @@ def test_warmup_mask_covers_uncond_inpainting(pipeline):
     pipeline._fused_cache.clear()
     pipeline.warmup(buckets=[8], counts=(2,), steps=2, scale=3.0,
                     include_mask=True)
-    assert (2, 8, True, True, "mel", False, "ddim") in pipeline._fused_cache
-    assert (2, 8, False, True, "mel", False, "ddim") in pipeline._fused_cache
+    assert (2, 8, True, True, "mel", False, "ddim", 1) in pipeline._fused_cache
+    assert (2, 8, False, True, "mel", False, "ddim", 1) in pipeline._fused_cache
 
 
 def test_slider_surface_zero_recompiles(pipeline, wav_path):
@@ -328,9 +328,9 @@ def test_slider_surface_zero_recompiles(pipeline, wav_path):
         assert decoded.shape == (2, 16, 64)
         assert np.isfinite(decoded).all()
     # one pipeline-level structure...
-    assert set(pipeline._fused_cache) == {(2, 8, True, False, "mel", False, "ddim")}
+    assert set(pipeline._fused_cache) == {(2, 8, True, False, "mel", False, "ddim", 1)}
     # ...backed by exactly ONE compiled XLA executable
-    fn = pipeline._fused_cache[(2, 8, True, False, "mel", False, "ddim")]
+    fn = pipeline._fused_cache[(2, 8, True, False, "mel", False, "ddim", 1)]
     assert fn._jitted._cache_size() == 1
     # different counts pad to buckets: 3 -> 4, and reuse thereafter
     for count in (3, 4):
@@ -338,7 +338,7 @@ def test_slider_surface_zero_recompiles(pipeline, wav_path):
             wav_path, {"sr": 3.0}, count=count, steps=2, scale=3.0,
         )
         assert decoded.shape == (count, 16, 64)
-    assert (4, 8, True, False, "mel", False, "ddim") in pipeline._fused_cache
+    assert (4, 8, True, False, "mel", False, "ddim", 1) in pipeline._fused_cache
     assert len(pipeline._fused_cache) == 2
 
 
@@ -362,7 +362,7 @@ def test_dpmpp_solver_through_fused_pipeline(pipeline, wav_path):
     )
     assert z_length == 8 and a.shape == (2, 16, 64)
     assert np.isfinite(a).all()
-    assert (2, 8, True, False, "mel", False, "dpmpp") in \
+    assert (2, 8, True, False, "mel", False, "dpmpp", 1) in \
         pipeline._fused_cache
     # traced steps reach the dpm while-loop: step count changes the chart
     b, _ = pipeline.sample_charts(
