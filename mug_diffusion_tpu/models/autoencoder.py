@@ -177,8 +177,11 @@ class AutoencoderKL(nn.Module):
     remove_prefix: Optional[str] = None
     ignore_keys: Optional[tuple] = None
     training_keys: Optional[tuple] = None
-    # accepted for config parity; consumed by AutoencoderTask (bf16 policy)
+    # accepted for config parity; consumed by AutoencoderTask (bf16 policy,
+    # ReduceLROnPlateau knobs)
     compute_dtype: Optional[str] = None
+    plateau_factor: Optional[float] = None
+    plateau_patience: Optional[int] = None
 
     def setup(self):
         dd = dict(self.ddconfig)

@@ -143,6 +143,14 @@ class AutoencoderTask:
         self.compute_dtype = resolve_dtype(
             params.get("compute_dtype", "bfloat16")
         )
+        # ReduceLROnPlateau knobs (torch defaults: factor 0.1, patience 10).
+        # Patience counts VALIDATIONS: the reference validates once per
+        # epoch over ~51k charts (~1.6k steps), so patience 10 means ~16k
+        # stagnant steps there. On a small synthetic corpus an epoch is a
+        # few steps, and the default can kill the LR mid-takeoff — scale
+        # patience (or val cadence) to the corpus when overriding.
+        self.plateau_factor = params.get("plateau_factor", 0.1)
+        self.plateau_patience = params.get("plateau_patience", 10)
 
     def init_params(self, rng, batch_spec=None):
         spec = batch_spec or {}
@@ -203,10 +211,6 @@ class AutoencoderTask:
             ),
         )
 
-    # ReduceLROnPlateau configuration (torch defaults: factor 0.1,
-    # patience 10, mode 'min')
-    plateau_factor = 0.1
-    plateau_patience = 10
 
 
 def build_task(model_config: dict):

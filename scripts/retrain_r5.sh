@@ -32,8 +32,14 @@ fi
 cp data/synthetic/beatmap.txt data/beatmap.txt
 
 # ---- 1. VAE -----------------------------------------------------------
+# plateau_patience is in VALIDATIONS; with ~3.5-step epochs the torch
+# default (10) fires after ~35 stagnant steps and kills the LR before the
+# sparse rice-start plane takes off. val every 4 epochs + patience 40
+# = ~560 stagnant steps before a cut.
 python main.py -b configs/mug/autoencoder_tpu.yaml -t \
-  -n "${OUT}vae" -s "$SEED" --max_steps "$VAE_STEPS"
+  -n "${OUT}vae" -s "$SEED" --max_steps "$VAE_STEPS" \
+  model.params.plateau_patience=40 \
+  lightning.trainer.val_every_n_epochs=4
 
 # best checkpoint = smallest monitor value in the run's top-k dir
 VAE_RUN=$(ls -dt logs/*"${OUT}vae"* | head -1)

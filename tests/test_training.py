@@ -369,6 +369,39 @@ def test_vae_trainer_fit_smoke(data_root, tmp_path):
     assert lr is not None and lr < trainer.learning_rate
 
 
+def test_vae_plateau_knobs_config_driven():
+    """plateau_factor/plateau_patience flow from model.params (dotlist
+    overridable) into AutoencoderTask; patience counts VALIDATIONS, so
+    small-corpus recipes must scale it (scripts/retrain_r5.sh stage 1)."""
+    from mug_diffusion_tpu.training.tasks import build_task
+
+    cfg = dict(
+        target="mug_diffusion_tpu.models.autoencoder.AutoencoderKL",
+        base_learning_rate=3e-6,
+        params=dict(
+            monitor="val/loss", kl_weight=1e-5,
+            lossconfig=dict(
+                target="mug_diffusion_tpu.models.losses.ManiaReconstructLoss",
+                params=dict(weight_start_offset=0.5, weight_holding=0.5,
+                            weight_end_offset=0.2, label_smoothing=0.001),
+            ),
+            ddconfig=dict(
+                x_channels=16, middle_channels=8, z_channels=16,
+                num_groups=4, channel_mult=[1, 2, 4, 4], num_res_blocks=1,
+            ),
+            plateau_factor=0.5, plateau_patience=40,
+        ),
+    )
+    task = build_task(cfg)
+    assert task.plateau_factor == 0.5
+    assert task.plateau_patience == 40
+    # torch defaults when unspecified (ReduceLROnPlateau factor/patience)
+    del cfg["params"]["plateau_factor"], cfg["params"]["plateau_patience"]
+    task = build_task(cfg)
+    assert task.plateau_factor == 0.1
+    assert task.plateau_patience == 10
+
+
 def test_beatmap_logger_quality_metrics(tmp_path):
     """The recurring quality gate: jack/note counts of generated step=0
     charts vs originals, as loggable metrics (ref workflow:
