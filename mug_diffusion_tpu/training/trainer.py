@@ -166,6 +166,11 @@ class Trainer:
         # the per-epoch mel upload — the largest H2D transfer in training.
         # Single-process only: multi-process SPMD builds global arrays
         # from per-rank host shards, which a device cache would bypass.
+        # HBM residency caveat: cached rows and the jnp.stack staging batch
+        # live on the DEFAULT device, so on a multi-device mesh the whole
+        # device_audio_cache_mb budget plus one pre-reshard batch sits on
+        # device 0's HBM before the final device_put relays shards out —
+        # size the budget for one chip, not the mesh (advisor r4).
         self._audio_cache = None
         if device_audio_cache and jax.process_count() == 1:
             from mug_diffusion_tpu.training.device_cache import (
