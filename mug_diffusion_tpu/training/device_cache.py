@@ -45,6 +45,14 @@ class DeviceAudioCache:
         self.hits = 0
         self.misses = 0
 
+    def clear(self):
+        """Drop every cached row (frees its HBM). Used as OOM relief: the
+        trainer clears the cache and retries when a checkpoint readback
+        hits RESOURCE_EXHAUSTED — rows refill lazily on later batches, so
+        the only cost is re-uploading; correctness is unaffected."""
+        self._rows.clear()
+        self._bytes = 0
+
     def _put(self, key: str, row: jax.Array):
         nbytes = int(row.size) * row.dtype.itemsize
         if nbytes > self.max_bytes:

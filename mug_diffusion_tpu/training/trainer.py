@@ -575,6 +575,18 @@ class Trainer:
     def validate(self, val_loader, epoch: int):
         all_metrics: Dict[str, list] = {}
         n_dev = self._local_device_multiple()
+        # Proactively drop the device audio cache before validation: the
+        # val executable is a fresh compile whose workspace must fit
+        # alongside params/opt/cache, and the r5 stage-2 run died with
+        # RESOURCE_EXHAUSTED at its FIRST val when the cache sat at a
+        # ~2.5 GB fill (the error surfaces at device_get of the val
+        # metrics because dispatch is async — by then the failed result
+        # is poisoned and no retry can save it). Rows refill lazily from
+        # the val batches themselves and then from training; the only
+        # cost is ~1 epoch of re-uploads per val (val cadence is 10
+        # epochs in the retrain recipe).
+        if self._audio_cache is not None:
+            self._audio_cache.clear()
         for batch_idx, batch in enumerate(val_loader):
             # TRIM uneven val batches to a mesh multiple instead of
             # cycle-padding: duplicated samples would bias the val means
@@ -603,15 +615,34 @@ class Trainer:
                     )
                     for k, v in batch.items()
                 }
-            dev_batch = self._device_batch(batch)
             # deterministic per-batch seed (ref: diffusion.py:434-436).
             # Derived from the trainer seed + batch index — stable across
             # processes and reruns (str hash() is salted per process).
             rng = jax.random.fold_in(jax.random.PRNGKey(self.seed), batch_idx)
-            metrics = self._dispatch_val_step(
-                dev_batch, rng, batch_idx % 10
-            )
-            metrics = jax.device_get(metrics)
+            try:
+                dev_batch = self._device_batch(batch)
+                metrics = jax.device_get(self._dispatch_val_step(
+                    dev_batch, rng, batch_idx % 10
+                ))
+            except jax.errors.JaxRuntimeError as e:
+                # reactive relief: dispatch is async, so a device OOM in
+                # the val computation surfaces here as RESOURCE_EXHAUSTED
+                # on the readback of a POISONED result — the fix is to
+                # free HBM (drop the audio cache) and RE-DISPATCH the
+                # batch, never to retry the readback (that can only
+                # rethrow). Single retry: a second failure is a real OOM.
+                if "RESOURCE_EXHAUSTED" not in str(e) \
+                        or self._audio_cache is None:
+                    raise
+                n = len(self._audio_cache._rows)
+                self._audio_cache.clear()
+                print(f"val batch {batch_idx} hit RESOURCE_EXHAUSTED; "
+                      f"cleared {n} device-cached audio rows and "
+                      f"re-dispatching")
+                dev_batch = self._device_batch(batch)
+                metrics = jax.device_get(self._dispatch_val_step(
+                    dev_batch, rng, batch_idx % 10
+                ))
             for k, v in metrics.items():
                 all_metrics.setdefault(k, []).append((float(v), keep))
             for cb in self.callbacks:
@@ -781,6 +812,27 @@ class Trainer:
             self.flush_checkpoint_writes()
             self._mp_barrier("mug_fit_end", timeout_ms=600_000)
 
+    def _device_get_relieved(self, tree):
+        """``jax.device_get`` with HBM-pressure relief: a large-corpus
+        device audio cache can pin HBM right up to its budget, and the
+        readback's device-side staging then fails with RESOURCE_EXHAUSTED
+        (observed on v5e with a 4 GiB cache + full train state: the r5
+        stage-2 run died at its first ``save_checkpoint("last")``). On
+        that error, drop the cache (rows refill lazily, training
+        distribution unchanged) and retry once instead of losing the run.
+        """
+        try:
+            return jax.device_get(tree)
+        except jax.errors.JaxRuntimeError as e:
+            if "RESOURCE_EXHAUSTED" not in str(e) \
+                    or self._audio_cache is None:
+                raise
+            n = len(self._audio_cache._rows)
+            self._audio_cache.clear()
+            print(f"checkpoint readback hit RESOURCE_EXHAUSTED; cleared "
+                  f"{n} device-cached audio rows and retrying")
+            return jax.device_get(tree)
+
     def save_checkpoint(self, name: str, weights_only: bool = False,
                         collective: bool = True):
         # a pending async write must land before ANY new save touches the
@@ -824,11 +876,11 @@ class Trainer:
             # before releasing peers). A write failure is surfaced on
             # rank 0's next flush; peers cannot observe it.
             return path
-        payload = {"params": jax.device_get(self.params)["params"],
+        payload = {"params": self._device_get_relieved(self.params)["params"],
                    "step": self.global_step}
         if not weights_only and self.opt_state is not None:
             # opt_state stored separately to keep partial restores simple
-            payload["opt_state"] = jax.device_get(self.opt_state)
+            payload["opt_state"] = self._device_get_relieved(self.opt_state)
         # emergency paths (collective=False) must land before the process
         # can die -> always synchronous
         if self.async_checkpoint and collective:

@@ -61,11 +61,22 @@ echo "stage-1 best VAE checkpoint: $BEST_VAE"
 # ---- 2. latent diffusion ---------------------------------------------
 # val every 10 epochs (quality-gate ancestral probes every 5th val);
 # device-resident mel cache cuts the dominant H2D transfer on remote hosts
+# cache budget 1024 MB (not the 4096 default): a 768-chart fp16 mel corpus
+# is ~6.3 GB, so the cache pins its whole budget. At 4 GiB the run died at
+# the first full-state checkpoint readback; at 2.5 GiB it died at the first
+# validation (fresh val executable + cache didn't fit — the axon tunnel
+# chip exposes no memory_stats, and its free HBM is evidently far below
+# the nominal 16 GB). ~1 GiB matches the only fill level that has ever
+# completed a full stage-2 run (r4). The trainer additionally clears the
+# cache before every validation and re-dispatches on RESOURCE_EXHAUSTED.
+# save_last every 10 epochs: each 'last' is a ~1.6 GB tunnel readback.
 python main.py -b configs/mug/mug_diffusion_tpu.yaml -t \
   -n "${OUT}diff" -s "$SEED" --max_steps "$DIFF_STEPS" \
   "model.params.first_stage_config.params.ckpt_path=$BEST_VAE" \
   lightning.trainer.val_every_n_epochs=10 \
   lightning.trainer.device_audio_cache=true \
+  lightning.trainer.device_audio_cache_mb=1024 \
+  lightning.trainer.save_last_every_n_epochs=10 \
   lightning.trainer.save_top_k=2
 
 DIFF_RUN=$(ls -dt logs/*"${OUT}diff"* | head -1)
