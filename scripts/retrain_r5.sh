@@ -34,12 +34,16 @@ cp data/synthetic/beatmap.txt data/beatmap.txt
 # ---- 1. VAE -----------------------------------------------------------
 # plateau_patience is in VALIDATIONS; with ~3.5-step epochs the torch
 # default (10) fires after ~35 stagnant steps and kills the LR before the
-# sparse rice-start plane takes off. val every 4 epochs + patience 40
-# = ~560 stagnant steps before a cut.
+# sparse rice-start plane takes off. val every 8 epochs + patience 20
+# = ~480 stagnant steps before a cut. Sparse save_last + async orbax:
+# on a tunnel host the default every-epoch full-state readback dominates
+# wall clock 6x over compute (docs/PERF.md round-5 training note).
 python main.py -b configs/mug/autoencoder_tpu.yaml -t \
   -n "${OUT}vae" -s "$SEED" --max_steps "$VAE_STEPS" \
-  model.params.plateau_patience=40 \
-  lightning.trainer.val_every_n_epochs=4
+  model.params.plateau_patience=20 \
+  lightning.trainer.val_every_n_epochs=8 \
+  lightning.trainer.save_last_every_n_epochs=32 \
+  lightning.trainer.async_checkpoint=true
 
 # best checkpoint = smallest monitor value in the run's top-k dir
 VAE_RUN=$(ls -dt logs/*"${OUT}vae"* | head -1)
@@ -77,6 +81,7 @@ python main.py -b configs/mug/mug_diffusion_tpu.yaml -t \
   lightning.trainer.device_audio_cache=true \
   lightning.trainer.device_audio_cache_mb=1024 \
   lightning.trainer.save_last_every_n_epochs=10 \
+  lightning.trainer.async_checkpoint=true \
   lightning.trainer.save_top_k=2
 
 DIFF_RUN=$(ls -dt logs/*"${OUT}diff"* | head -1)
