@@ -42,6 +42,16 @@ class CSVLogger:
         os.makedirs(logdir, exist_ok=True)
         self.path = os.path.join(logdir, "metrics.csv")
         self._keys: List[str] = []
+        # resume-safe: adopt an existing file's header so the first log
+        # call APPENDS under it (or union-rewrites, keeping prior rows)
+        # instead of truncating the run's history — a fresh process always
+        # starts with empty _keys, and the pre-fix truncate branch below
+        # destroyed the metrics of every resumed run
+        if os.path.isfile(self.path):
+            with open(self.path, newline="") as f:
+                header = next(csv.reader(f), None)
+            if header:
+                self._keys = list(header)
 
     def log(self, metrics: Dict[str, Any], step: int):
         row = {"step": step}

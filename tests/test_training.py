@@ -524,6 +524,27 @@ def test_main_cli_end_to_end(data_root, tmp_path):
     with open(os.path.join(logdir, "metrics.csv")) as f:
         assert "loss" in f.read()
 
+    # resume leg (`python main.py -r <logdir>`): picks up the run's config
+    # snapshot + last checkpoint, continues the step counter, and APPENDS
+    # to metrics.csv (the run's history must survive the process restart)
+    import csv
+
+    with open(os.path.join(logdir, "metrics.csv")) as f:
+        rows_before = [r for r in csv.DictReader(f) if r.get("step")]
+    trainer2 = main_mod.main([
+        "-r", logdir, "-t", "--max_steps", "4", "--max_epochs", "2",
+        "-l", logroot,
+    ])
+    assert trainer2.global_step == 4
+    with open(os.path.join(logdir, "metrics.csv")) as f:
+        rows_after = [r for r in csv.DictReader(f) if r.get("step")]
+    steps_after = [int(float(r["step"])) for r in rows_after]
+    assert len(rows_after) > len(rows_before)
+    assert min(steps_after) == min(
+        int(float(r["step"])) for r in rows_before
+    ), "resume truncated the run's metric history"
+    assert max(steps_after) == 4
+
 
 def test_sigterm_preemption_saves_and_exits_cleanly(tmp_path):
     """SIGTERM (TPU/cloud preemption notice) during fit must dump a
@@ -733,3 +754,31 @@ def test_sigterm_mid_step_defers_save(tmp_path, monkeypatch):
     assert len(calls) >= 2  # handler attempt + deferred save
     assert os.path.isdir(os.path.join(str(tmp_path / "run"),
                                       "checkpoints", "last"))
+
+
+def test_csv_logger_resume_appends(tmp_path):
+    """A fresh CSVLogger pointed at an existing metrics.csv (process
+    restart / resume) must keep the prior rows: the pre-fix logger started
+    with an empty key set and truncated the file on its first log call,
+    destroying the history of every resumed run."""
+    import csv
+
+    from mug_diffusion_tpu.training.trainer import CSVLogger
+
+    logdir = str(tmp_path)
+    first = CSVLogger(logdir)
+    first.log({"train/loss": 1.0}, step=1)
+    first.log({"train/loss": 0.9, "val/loss": 0.8}, step=2)  # union rewrite
+
+    resumed = CSVLogger(logdir)
+    resumed.log({"train/loss": 0.7}, step=3)
+    # a resumed run can also introduce NEW keys; prior rows must survive
+    # the union rewrite too
+    resumed.log({"train/loss": 0.6, "grad_norm": 2.0}, step=4)
+
+    rows = list(csv.DictReader(open(os.path.join(logdir, "metrics.csv"))))
+    steps = [int(r["step"]) for r in rows]
+    assert steps == [1, 2, 3, 4]
+    assert rows[0]["train/loss"] == "1.0"
+    assert rows[1]["val/loss"] == "0.8"
+    assert rows[3]["grad_norm"] == "2.0"
