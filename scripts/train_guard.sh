@@ -25,6 +25,11 @@ cd "$(dirname "$0")/.."
 RSS_GB=$1; MAX_STEPS=$2; NAME=$3; shift 3
 [ "${1:-}" = "--" ] && shift
 
+# advertise the guard loop's own PID so landing tooling (bench.py
+# _ensure_idle_chip, scripts/_r5_land.sh) can stop the RELAUNCH LOOP by
+# explicit pid — never by process-name pattern — before stopping the child
+echo $$ > /tmp/train_guard.pid
+
 last_step() {
   python - "$1" <<'EOF'
 import csv, os, sys
