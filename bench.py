@@ -79,6 +79,13 @@ def _ensure_idle_chip(
 
 
 def main():
+    # advertise the bench's own PID so landing tooling can avoid grabbing
+    # the chip mid-measurement (scripts/_r5_watch_and_land.sh)
+    try:
+        with open("/tmp/bench.pid", "w") as f:
+            f.write(str(os.getpid()))
+    except OSError:
+        pass
     _ensure_idle_chip()
     import jax
     import jax.numpy as jnp

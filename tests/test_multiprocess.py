@@ -33,27 +33,45 @@ def _free_port() -> int:
     return port
 
 
-def test_two_process_dp_matches_single_device(tmp_path):
+def _run_worker_pair(tmp_path, mode=None):
+    """Launch the 2-rank worker pair; retry ONCE if a rank died on gloo's
+    fixed 30 s collective-context KV deadline. On a contended host (e.g. a
+    live training run on the same box) one rank's first compile can exceed
+    that window — load skew, not a product bug."""
     worker = os.path.join(os.path.dirname(__file__), "mp_worker.py")
-    port = _free_port()
     env = dict(os.environ)
-    procs = [
-        subprocess.Popen(
-            [sys.executable, worker, str(i), str(port), str(tmp_path)],
-            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-            text=True,
-        )
-        for i in (0, 1)
-    ]
-    outs = []
-    for p in procs:
-        try:
-            out, _ = p.communicate(timeout=900)
-        except subprocess.TimeoutExpired:
-            for q in procs:
-                q.kill()
-            raise
-        outs.append(out)
+    for attempt in range(2):
+        port = _free_port()
+        argv = [str(tmp_path)] + ([mode] if mode else [])
+        procs = [
+            subprocess.Popen(
+                [sys.executable, worker, str(i), str(port)] + argv,
+                env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                text=True,
+            )
+            for i in (0, 1)
+        ]
+        outs = []
+        for p in procs:
+            try:
+                out, _ = p.communicate(timeout=900)
+            except subprocess.TimeoutExpired:
+                for q in procs:
+                    q.kill()
+                raise
+            outs.append(out)
+        if all(p.returncode == 0 for p in procs):
+            break
+        gloo_flake = any("Gloo context initialization failed" in out
+                         or "DEADLINE_EXCEEDED" in out for out in outs)
+        if not gloo_flake or attempt == 1:
+            break
+        print("gloo init deadline under host load — retrying worker pair")
+    return procs, outs
+
+
+def test_two_process_dp_matches_single_device(tmp_path):
+    procs, outs = _run_worker_pair(tmp_path)
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {i} failed:\n{out[-4000:]}"
         assert f"mp_worker {i}: OK" in out
@@ -156,26 +174,7 @@ def test_two_process_trainer_fit(tmp_path):
     halves, AOT-compile + coordination barrier before the first dispatch
     (gloo contexts handshake within their 30 s window), orbax-coordinated
     checkpoint save, rank-zero-only metrics, lockstep fit exit."""
-    worker = os.path.join(os.path.dirname(__file__), "mp_worker.py")
-    port = _free_port()
-    procs = [
-        subprocess.Popen(
-            [sys.executable, worker, str(i), str(port), str(tmp_path),
-             "trainer"],
-            env=dict(os.environ), stdout=subprocess.PIPE,
-            stderr=subprocess.STDOUT, text=True,
-        )
-        for i in (0, 1)
-    ]
-    outs = []
-    for p in procs:
-        try:
-            out, _ = p.communicate(timeout=900)
-        except subprocess.TimeoutExpired:
-            for q in procs:
-                q.kill()
-            raise
-        outs.append(out)
+    procs, outs = _run_worker_pair(tmp_path, "trainer")
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {i} failed:\n{out[-4000:]}"
         assert f"mp_worker {i}: TRAINER OK" in out
@@ -192,26 +191,7 @@ def test_two_process_fit_async_checkpoint(tmp_path):
     a flush-before-prune eviction), and the result restores cleanly on
     both ranks — the multi-process async path VERDICT r3 item 8 asked for
     (previously silently downgraded to sync when process_count > 1)."""
-    worker = os.path.join(os.path.dirname(__file__), "mp_worker.py")
-    port = _free_port()
-    procs = [
-        subprocess.Popen(
-            [sys.executable, worker, str(i), str(port), str(tmp_path),
-             "async"],
-            env=dict(os.environ), stdout=subprocess.PIPE,
-            stderr=subprocess.STDOUT, text=True,
-        )
-        for i in (0, 1)
-    ]
-    outs = []
-    for p in procs:
-        try:
-            out, _ = p.communicate(timeout=900)
-        except subprocess.TimeoutExpired:
-            for q in procs:
-                q.kill()
-            raise
-        outs.append(out)
+    procs, outs = _run_worker_pair(tmp_path, "async")
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {i} failed:\n{out[-4000:]}"
         assert f"mp_worker {i}: ASYNC OK" in out
@@ -270,26 +250,7 @@ def test_two_process_cli_distributed(tmp_path):
     with open(tmp_path / "tiny.yaml", "w") as f:
         yaml.safe_dump(cfg, f)
 
-    worker = os.path.join(os.path.dirname(__file__), "mp_worker.py")
-    port = _free_port()
-    procs = [
-        subprocess.Popen(
-            [sys.executable, worker, str(i), str(port), str(tmp_path),
-             "cli"],
-            env=dict(os.environ), stdout=subprocess.PIPE,
-            stderr=subprocess.STDOUT, text=True,
-        )
-        for i in (0, 1)
-    ]
-    outs = []
-    for p in procs:
-        try:
-            out, _ = p.communicate(timeout=900)
-        except subprocess.TimeoutExpired:
-            for q in procs:
-                q.kill()
-            raise
-        outs.append(out)
+    procs, outs = _run_worker_pair(tmp_path, "cli")
     logdirs = set()
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {i} failed:\n{out[-4000:]}"
@@ -323,26 +284,7 @@ def test_two_process_trainer_fit_bucketed(tmp_path):
     conn.commit()
     conn.close()
 
-    worker = os.path.join(os.path.dirname(__file__), "mp_worker.py")
-    port = _free_port()
-    procs = [
-        subprocess.Popen(
-            [sys.executable, worker, str(i), str(port), str(tmp_path),
-             "bucketed"],
-            env=dict(os.environ), stdout=subprocess.PIPE,
-            stderr=subprocess.STDOUT, text=True,
-        )
-        for i in (0, 1)
-    ]
-    outs = []
-    for p in procs:
-        try:
-            out, _ = p.communicate(timeout=900)
-        except subprocess.TimeoutExpired:
-            for q in procs:
-                q.kill()
-            raise
-        outs.append(out)
+    procs, outs = _run_worker_pair(tmp_path, "bucketed")
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {i} failed:\n{out[-4000:]}"
         assert f"mp_worker {i}: BUCKETED OK" in out
